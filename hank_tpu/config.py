@@ -1,0 +1,60 @@
+"""Global configuration for hank_tpu.
+
+Mirrors the reference's three config tiers (YAML computational params, solver
+kwargs, load-time flags — reference `ModelParser.jl:312-317`,
+`NewtonRaphson.jl:72-75`, `ForwardDiff.jl/src/prelude.jl:1-7`) with a single
+module of process-level defaults. Per-model values live on `CompSpec`; per-call
+values are solver kwargs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Config:
+    # Default compute dtype for the solver pipeline. float64 is required for
+    # the 1e-8 pointwise-parity target; on TPU, elementwise/matmul f64 is
+    # emulated by XLA and dense factorizations go through
+    # `ops.linalg.refined_solve` (f32 LU + f64 iterative refinement).
+    dtype: jnp.dtype = jnp.float64
+
+    # Defaults matching the reference (`ModelParser.jl:312`):
+    default_T: int = 150
+    default_eps: float = 1e-6
+    default_dx: float = 1e-8
+
+    # VFI inner loop cap (`SteadyState.jl:134`).
+    vfi_max_iter: int = 10_000
+
+    # VFI sup-norm tolerance. Much tighter than the model's path tolerance:
+    # with contraction modulus β ≈ 0.98 the distance to the fixed point is
+    # ~50x the per-iteration change, and the backward scan along the path
+    # amplifies any terminal-value error — 1e-8 pointwise path accuracy
+    # requires the steady-state value to be converged to ~1e-12.
+    vfi_eps: float = 1e-12
+
+    # Outer Newton caps (`SteadyState.jl:192-193`, `NewtonRaphson.jl:38`).
+    ss_newton_max_iter: int = 100
+    path_newton_max_iter: int = 100
+
+    # Dense invariant-distribution solve is used up to this many household
+    # states; larger state spaces use the matrix-free power-iteration path.
+    invariant_dense_max_states: int = 4096
+
+    # Iterative-refinement sweeps for f64 solves built on f32 LU.
+    refine_iters: int = 8
+
+    # Emit NaN/Inf diagnostics around Newton steps (maps the reference's
+    # safe_eval Inf-fill, `SteadyState.jl:199`).
+    debug_nans: bool = False
+
+
+config = Config()
+
+
+def default_dtype() -> jnp.dtype:
+    return config.dtype

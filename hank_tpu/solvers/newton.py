@@ -1,0 +1,200 @@
+"""Path solvers: Boehl (2024) quasi-Newton and matrix-free Newton-Krylov.
+
+Capability parity with the reference's `NewtonRaphson.jl`:
+
+- `make_full_residual_fn` composes the equilibrium map
+  F(x) = Residuals(assemble(x, Forward(Backward(x)))) exactly as
+  `NewtonRaphson.jl:77-83` — here as one jit-compiled function whose JVP is a
+  single `jax.jvp` through both scans.
+- `newton_raphson_hank(method="boehl")` is the outer loop + y-iteration
+  (`NewtonRaphson.jl:27-114`), with a real adaptive step size in place of the
+  reference's hard-coded α = 0.5 stub (`NewtonRaphson.jl:100-103, 117-120`).
+- `newton_raphson_hank(method="newton_krylov")` solves J(x)·d = F(x) by GMRES
+  with the JVP operator and J̄⁻¹ preconditioning — the SURVEY §7 north-star
+  formulation.
+- `solve_path_dense` is the naive dense-Jacobian Newton (build-plan step 6),
+  used for small-T cross-validation.
+
+Everything runs on-device under one `jit`: the outer and inner loops are
+`lax.while_loop`s, J̄ is factored once (f32 LU + f64 refinement) and reused.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from hank_tpu.blocks.assemble import assemble_full_xmat, residuals as eval_residuals
+from hank_tpu.blocks.backward import backward_iteration
+from hank_tpu.blocks.forward import forward_iteration
+from hank_tpu.config import config
+from hank_tpu.ops.linalg import dense_solve, make_reusable_solver
+
+
+def make_full_residual_fn(model, ss_initial, ss_ending,
+                          exog_paths: Mapping[str, jnp.ndarray]) -> Callable:
+    """The equilibrium map F(x) (`NewtonRaphson.jl:77-83`).
+
+    x is the flat (n_endog·(T-1),) endogenous sequence; the return is the
+    stacked residual vector of the same length (square system,
+    `SteadyStateJacobian.jl:43-46`).
+    """
+    def F(x):
+        policies = backward_iteration(x, exog_paths, model, ss_ending.vars,
+                                      ss_ending.value)
+        aggs = forward_iteration(policies, model, ss_initial.D)
+        x_mat = assemble_full_xmat(x, aggs, exog_paths, model,
+                                   ss_initial.vars, ss_ending.vars)
+        return eval_residuals(x_mat, model)
+    return F
+
+
+def _boehl_alpha(ray: jnp.ndarray) -> jnp.ndarray:
+    """Adaptive Richardson step size from the Rayleigh-quotient estimate.
+
+    The inner iteration is y ← y + α(J̄⁻¹F − J̄⁻¹J y); with P = J̄⁻¹J it
+    converges for α < 2/λ_max(P). `ray = ⟨y, Py⟩/⟨y, y⟩` tracks the dominant
+    curvature along the current direction, so α = 1/max(ray, 1) keeps the
+    spectral radius of (I − αP) below 1 while taking full steps when P ≈ I
+    (near the steady state). Clipped to [0.05, 1]. Replaces the reference's
+    `alphaUpdate` stub (`NewtonRaphson.jl:117-120`).
+    """
+    return jnp.clip(1.0 / jnp.maximum(ray, 1.0), 0.05, 1.0)
+
+
+def newton_raphson_hank(
+    x0: jnp.ndarray,
+    Jbar: jnp.ndarray,
+    exog_paths: Mapping[str, jnp.ndarray],
+    model,
+    ss_initial,
+    ss_ending,
+    *,
+    eps: float = 1e-9,
+    method: str = "newton_krylov",
+    max_outer: int | None = None,
+    max_inner: int = 500,
+    gmres_restart: int = 30,
+    gmres_maxiter: int = 8,
+) -> tuple[jnp.ndarray, dict]:
+    """Solve F(x) = 0 for the perfect-foresight transition path.
+
+    Args:
+      x0: initial guess, flat (n_endog·(T-1),) (typically the SS sequence).
+      Jbar: dense steady-state sequence-space Jacobian from
+        `get_steady_state_jacobian` (factored once, reused throughout).
+      method: "boehl" (y-iteration, `NewtonRaphson.jl:65-114`) or
+        "newton_krylov" (preconditioned GMRES on the JVP operator).
+
+    Returns (x_solution, info) with info = {"iterations", "residual_norm",
+    "y_norm"} as device scalars.
+    """
+    F = make_full_residual_fn(model, ss_initial, ss_ending, exog_paths)
+    solve_jbar = make_reusable_solver(Jbar)
+    max_outer = max_outer or config.path_newton_max_iter
+
+    if method == "boehl":
+        def y_iteration(x, y0):
+            Fx = F(x)
+
+            def cond(carry):
+                _, _, diff, it = carry
+                return (diff > eps) & (it < max_inner)
+
+            def body(carry):
+                y, _, _, it = carry
+                _, Lxy = jax.jvp(F, (x,), (y,))
+                R = solve_jbar(Fx - Lxy)
+                M = solve_jbar(Lxy)
+                ray = jnp.dot(y, M) / jnp.maximum(jnp.dot(y, y), 1e-300)
+                alpha = _boehl_alpha(ray)
+                y_new = y + alpha * R
+                return y_new, y, jnp.linalg.norm(y_new - y), it + 1
+
+            y, _, _, inner_its = jax.lax.while_loop(
+                cond, body, (y0, jnp.full_like(y0, jnp.inf), jnp.inf, 0))
+            return y, inner_its
+
+        @jax.jit
+        def run(x0):
+            def cond(carry):
+                _, y, it, _ = carry
+                return (jnp.linalg.norm(y) > eps) & (it < max_outer)
+
+            def body(carry):
+                x, y, it, tot = carry
+                y_new, inner_its = y_iteration(x, y)
+                return x - y_new, y_new, it + 1, tot + inner_its
+
+            x, y, iters, total_inner = jax.lax.while_loop(
+                cond, body, (x0, x0, 0, 0))
+            return x, {"iterations": iters, "inner_iterations": total_inner,
+                       "residual_norm": jnp.linalg.norm(F(x)),
+                       "y_norm": jnp.linalg.norm(y)}
+
+        return run(x0)
+
+    if method == "newton_krylov":
+        @jax.jit
+        def run(x0):
+            def cond(carry):
+                x, fnorm, it = carry
+                return (fnorm > eps) & (it < max_outer)
+
+            def body(carry):
+                x, _, it = carry
+                Fx = F(x)
+                A = lambda v: jax.jvp(F, (x,), (v,))[1]  # noqa: E731
+                d, _ = jax.scipy.sparse.linalg.gmres(
+                    A, Fx, x0=solve_jbar(Fx), M=solve_jbar,
+                    tol=1e-12, atol=0.0,
+                    restart=gmres_restart, maxiter=gmres_maxiter,
+                    solve_method="batched")
+                x_new = x - d
+                return x_new, jnp.linalg.norm(F(x_new)), it + 1
+
+            x, fnorm, iters = jax.lax.while_loop(
+                cond, body, (x0, jnp.inf, 0))
+            return x, {"iterations": iters, "residual_norm": fnorm,
+                       "y_norm": fnorm}
+
+        return run(x0)
+
+    raise ValueError(f"unknown method '{method}' (expected 'boehl' or 'newton_krylov')")
+
+
+def solve_path_dense(
+    x0: jnp.ndarray,
+    exog_paths: Mapping[str, jnp.ndarray],
+    model,
+    ss_initial,
+    ss_ending,
+    *,
+    eps: float = 1e-9,
+    max_iter: int = 50,
+) -> tuple[jnp.ndarray, dict]:
+    """Naive dense-Jacobian Newton on the full path (small T only).
+
+    Builds J(x) with `jax.jacfwd` through the whole pipeline each iteration —
+    O(n_endog·(T-1)) JVP sweeps per step. Used as the ground-truth
+    cross-check for the fast solvers (build-plan step 6).
+    """
+    F = make_full_residual_fn(model, ss_initial, ss_ending, exog_paths)
+    J = jax.jacfwd(F)
+
+    @jax.jit
+    def step(x):
+        Fx = F(x)
+        dx = dense_solve(J(x), Fx)
+        return x - dx, jnp.linalg.norm(Fx)
+
+    x = x0
+    fnorm = jnp.inf
+    for it in range(max_iter):
+        x, fnorm = step(x)
+        if float(fnorm) < eps:
+            break
+    final = jnp.linalg.norm(F(x))
+    return x, {"iterations": it + 1, "residual_norm": final}
