@@ -44,6 +44,10 @@ def forward_iteration(
 
     from hank_tpu.ops.transition import exog_apply, lottery_apply_multi
 
+    # Rematerialized step: the dense one-hot lottery builds an (n_a, F, n_a)
+    # contraction mask per period; without remat, reverse-mode through the
+    # scan would store it for all T-1 periods (O(T·n_a²·F) memory).
+    @jax.checkpoint
     def step(D, policies_t):
         endog_policies = [policies_t[v] for v in policy_vars]
         D_half = lottery_apply_multi(endog_policies, D, grids)

@@ -285,10 +285,19 @@ def _build_dimension(dim_dict: Mapping, module) -> HeterogeneityDimension:
 
 
 def _parse_ss_spec(spec_dict: Mapping) -> SteadyStateSpec:
-    """YAML steady-state subsection -> SteadyStateSpec (`ModelParser.jl:422-435`)."""
+    """YAML steady-state subsection -> SteadyStateSpec (`ModelParser.jl:422-435`).
+
+    An optional `bounds:` mapping ("var: [lo, hi]") boxes the Newton search.
+    """
     fixed = {str(k): float(v) for k, v in (spec_dict.get("fixed") or {}).items()}
     guesses = {str(k): float(v) for k, v in (spec_dict.get("guesses") or {}).items()}
-    return SteadyStateSpec(fixed=fixed, guesses=guesses)
+    bounds = {}
+    for k, v in (spec_dict.get("bounds") or {}).items():
+        if not (isinstance(v, (list, tuple)) and len(v) == 2):
+            raise ValueError(
+                f"bounds for '{k}' must be a [lo, hi] pair, got {v!r}")
+        bounds[str(k)] = (float(v[0]), float(v[1]))
+    return SteadyStateSpec(fixed=fixed, guesses=guesses, bounds=bounds)
 
 
 def build_model_from_yaml(file_path: str) -> SequenceModel:

@@ -58,11 +58,23 @@ class HeterogeneityDimension:
 class SteadyStateSpec:
     """Pinned values + Newton starting guesses for one steady state.
 
-    Reference: `GeneralStructures.jl:73-76`.
+    Reference: `GeneralStructures.jl:73-76`. `bounds` (not in the reference)
+    optionally boxes each free variable: the SS Newton projects every iterate
+    into the box, keeping the search out of spurious basins (e.g. r → −1, or
+    r above 1/β − 1 where household wealth explodes to the grid edge and the
+    aggregate response is flat).
     """
 
     fixed: Mapping[str, float]
     guesses: Mapping[str, float]
+    bounds: Mapping[str, tuple[float, float]] = dataclasses.field(default_factory=dict)
+
+    def __eq__(self, other):
+        if not isinstance(other, SteadyStateSpec):
+            return NotImplemented
+        return (dict(self.fixed) == dict(other.fixed)
+                and dict(self.guesses) == dict(other.guesses)
+                and dict(self.bounds) == dict(other.bounds))
 
 
 @dataclasses.dataclass(frozen=True)

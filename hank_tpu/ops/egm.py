@@ -28,18 +28,37 @@ def interp_columns(x: jnp.ndarray, knots: jnp.ndarray, vals: jnp.ndarray) -> jnp
     """Column-wise interpolation over exogenous states.
 
     Args:
-      x: (n_a,) or (n_a, n_exog) query points.
-      knots: (n_a, n_exog) per-column knot vectors (endogenous grid).
-      vals: (n_a,) or (n_a, n_exog) values at the knots.
+      x: (n_q,) or (n_q, n_exog) query points.
+      knots: (n_k, n_exog) per-column knot vectors (endogenous grid).
+      vals: (n_k,) or (n_k, n_exog) values at the knots.
 
-    Returns (n_a, n_exog): for each column e, interp(x[:, e], knots[:, e], vals[:, e]).
+    Returns (n_q, n_exog): for each column e, interp(x[:, e], knots[:, e],
+    vals[:, e]) with flat extrapolation.
+
+    TPU-lean lowering: bracket location is a vectorized comparison-sum (one
+    compare + reduce, no binary-search loop), followed by two gathers and a
+    clipped lerp — a handful of fused VPU ops per scan step instead of the
+    many kernels `jnp.interp` emits. The clip gives zero gradient outside the
+    knot range (flat extrapolation), matching the reference's Flat()
+    extrapolation and clamped-boundary zero-derivative convention.
     """
-    n_exog = knots.shape[-1]
+    n_k, n_exog = knots.shape
     if x.ndim == 1:
-        x = jnp.broadcast_to(x[:, None], knots.shape)
+        x = jnp.broadcast_to(x[:, None], (x.shape[0], n_exog))
     if vals.ndim == 1:
-        vals = jnp.broadcast_to(vals[:, None], knots.shape)
-    return jax.vmap(jnp.interp, in_axes=(1, 1, 1), out_axes=1)(x, knots, vals)
+        vals = jnp.broadcast_to(vals[:, None], (vals.shape[0], n_exog))
+
+    # idx[q, e] = #{k : knots[k, e] < x[q, e]}, clipped to a valid bracket.
+    idx = jnp.sum(knots[None, :, :] < x[:, None, :], axis=1)
+    idx = jnp.clip(idx, 1, n_k - 1)
+    lo = jnp.take_along_axis(knots, idx - 1, axis=0)
+    hi = jnp.take_along_axis(knots, idx, axis=0)
+    v_lo = jnp.take_along_axis(vals, idx - 1, axis=0)
+    v_hi = jnp.take_along_axis(vals, idx, axis=0)
+    denom = hi - lo
+    safe = jnp.where(denom > 0, denom, 1.0)      # guard duplicate knots
+    t = jnp.clip((x - lo) / safe, 0.0, 1.0)
+    return v_lo + t * (v_hi - v_lo)
 
 
 def egm_consumption(value_next: jnp.ndarray, Pi: jnp.ndarray,

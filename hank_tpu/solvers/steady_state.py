@@ -196,8 +196,18 @@ def find_ss(model, ss_spec, label: str = "", verbose: bool = False) -> SteadySta
     F_jit = jax.jit(F)
     J_jit = jax.jit(jax.jacfwd(F))
 
-    p = jnp.asarray([ss_spec.guesses.get(k, 1.0) for k in free],
-                    dtype=config.dtype)
+    # Optional per-variable box; iterates are projected into it (keeps the
+    # search out of spurious basins — see SteadyStateSpec.bounds).
+    lo = jnp.asarray([ss_spec.bounds.get(k, (-jnp.inf, jnp.inf))[0] for k in free],
+                     dtype=config.dtype)
+    hi = jnp.asarray([ss_spec.bounds.get(k, (-jnp.inf, jnp.inf))[1] for k in free],
+                     dtype=config.dtype)
+
+    def project(q):
+        return jnp.clip(q, lo, hi)
+
+    p = project(jnp.asarray([ss_spec.guesses.get(k, 1.0) for k in free],
+                            dtype=config.dtype))
     # Tighter than the reference's ε = 1e-6 (`SteadyState.jl:193`): the path
     # solver's 1e-9 convergence target needs an SS consistent at that level.
     eps = min(model.compspec.eps, 1e-9)
@@ -216,16 +226,19 @@ def find_ss(model, ss_spec, label: str = "", verbose: bool = False) -> SteadySta
         step = dense_solve(J, z)
         eta = 1.0
         z_norm = safe_norm(z)
-        p_new = p - eta * step
+        p_new = project(p - eta * step)
         z_new = F_jit(p_new)
-        improved = safe_norm(z_new) <= z_norm
+        # Strict decrease required: accepting equal-norm steps cycles forever
+        # when a bound is binding or the direction is tangent to the residual
+        # level set.
+        improved = safe_norm(z_new) < z_norm
         while not improved:
             eta /= 2.0
             if eta <= 1e-8:
                 break
-            p_new = p - eta * step
+            p_new = project(p - eta * step)
             z_new = F_jit(p_new)
-            improved = safe_norm(z_new) <= z_norm
+            improved = safe_norm(z_new) < z_norm
         if not improved:
             # Line search exhausted without a finite improvement: keep the
             # best iterate instead of stepping into NaN territory (the

@@ -26,14 +26,16 @@ def default_cache_dir() -> str:
     return path
 
 
-def model_hash(model) -> str:
-    """Structural hash: anything that changes the SS or J̄ changes the key."""
+def model_hash(model, include_horizon: bool = False) -> str:
+    """Structural hash: anything that changes the SS (or, with
+    `include_horizon`, the T-dependent J̄) changes the key. The steady state
+    does not depend on the transition horizon, so SS artifacts are shared
+    across T."""
     h = hashlib.sha256()
     payload = {
         "name": model.name,
         "equations": list(model.equations),
         "params": {k: float(v) for k, v in model.params.items()},
-        "T": model.compspec.T,
         "eps": model.compspec.eps,
         "vars": [(k, v.var_type) for k, v in model.variables.items()],
         "ss_initial": [sorted(model.ss_initial.fixed.items()),
@@ -41,6 +43,8 @@ def model_hash(model) -> str:
         "ss_ending": [sorted(model.ss_ending.fixed.items()),
                       sorted(model.ss_ending.guesses.items())],
     }
+    if include_horizon:
+        payload["T"] = model.compspec.T
     h.update(json.dumps(payload, sort_keys=True).encode())
     for name, dim in model.heterogeneity.items():
         h.update(name.encode())
@@ -88,14 +92,14 @@ def load_steady_state(model, label: str, cache_dir: str | None = None):
 
 def save_jacobian(J, model, cache_dir: str | None = None) -> str:
     path = os.path.join(cache_dir or default_cache_dir(),
-                        f"jbar_{model_hash(model)}.npz")
+                        f"jbar_{model_hash(model, include_horizon=True)}.npz")
     np.savez(path, J=np.asarray(J))
     return path
 
 
 def load_jacobian(model, cache_dir: str | None = None):
     path = os.path.join(cache_dir or default_cache_dir(),
-                        f"jbar_{model_hash(model)}.npz")
+                        f"jbar_{model_hash(model, include_horizon=True)}.npz")
     if not os.path.exists(path):
         return None
     with np.load(path) as z:

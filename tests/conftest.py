@@ -1,54 +1,79 @@
 """Test configuration: run on CPU with 8 virtual devices for sharding tests.
 
 Must set XLA flags before jax initializes (standard JAX fake-mesh testing;
-SURVEY §4 — the reference has no distributed tests, ours do).
+SURVEY §4 — the reference has no distributed tests, ours do). Steady states
+are solved once and cached on disk (~/.cache/hank_tpu), so the first full test
+run is slow and later runs are fast.
 """
 
 import os
+import sys
 
-# Force CPU regardless of environment (the axon TPU tunnel may be preset in
-# JAX_PLATFORMS; unit tests run on the virtual 8-device CPU mesh).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+# Force CPU + 8 virtual devices regardless of environment. The container's
+# sitecustomize (axon TPU plugin) imports jax and initializes backends at
+# interpreter startup AND overrides XLA_FLAGS, so flags set here are too
+# late — re-exec the interpreter once with the axon trigger removed and the
+# right environment in place at startup.
+_flags = os.environ.get("XLA_FLAGS", "")
+_needs_env = (os.environ.get("JAX_PLATFORMS") != "cpu"
+              or "xla_force_host_platform_device_count" not in _flags
+              or os.environ.get("PALLAS_AXON_POOL_IPS"))
+if _needs_env and os.environ.get("_HANK_TPU_TEST_REEXEC") != "1":
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)   # disable axon sitecustomize
+    os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["_HANK_TPU_TEST_REEXEC"] = "1"
+    os.execv(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:])
 
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 
+import dataclasses  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def ks_small():
-    """Small Krusell-Smith instance (fast: n_a=40, n_e=5, T=40)."""
-    import dataclasses
-
+def build_small_ks(T: int, n_a: int = 40, n_e: int = 5):
+    """Small Krusell-Smith instance for tests."""
+    from hank_tpu.model.grids import make_double_exponential_grid, rouwenhorst
+    from hank_tpu.model.structures import HeterogeneityDimension
     from hank_tpu.models import load_model
 
-    model = load_model("krusell_smith", T=40)
-    # Shrink the grids for speed.
-    from hank_tpu.model.grids import make_double_exponential_grid, rouwenhorst
-    import jax.numpy as jnp
-    from hank_tpu.model.structures import HeterogeneityDimension
-
+    model = load_model("krusell_smith", T=T)
     wealth = HeterogeneityDimension(
-        name="wealth", dim_type="endogenous", n=40,
-        grid=jnp.asarray(make_double_exponential_grid(0.0, 200.0, 40)),
+        name="wealth", dim_type="endogenous", n=n_a,
+        grid=jnp.asarray(make_double_exponential_grid(0.0, 200.0, n_a)),
         transition=None, policy_var="KD")
-    Pi, _, z = rouwenhorst(5, 0.966, 0.283)
+    Pi, _, z = rouwenhorst(n_e, 0.966, 0.283)
     prod = HeterogeneityDimension(
-        name="productivity", dim_type="exogenous", n=5,
+        name="productivity", dim_type="exogenous", n=n_e,
         grid=jnp.asarray(z), transition=jnp.asarray(Pi), policy_var=None)
     return dataclasses.replace(
         model, heterogeneity={"wealth": wealth, "productivity": prod})
 
 
+def solve_ss_cached(model, label="initial"):
+    from hank_tpu.solvers.steady_state import find_ss
+    from hank_tpu.utils.checkpoint import load_steady_state, save_steady_state
+
+    spec = model.ss_initial if label == "initial" else model.ss_ending
+    ss = load_steady_state(model, label)
+    if ss is None:
+        ss = find_ss(model, spec, label)
+        save_steady_state(ss, model, label)
+    return ss
+
+
+@pytest.fixture(scope="session")
+def ks_small():
+    """Small KS at T=12 (fast path/Jacobian tests)."""
+    return build_small_ks(T=12)
+
+
 @pytest.fixture(scope="session")
 def ks_small_ss(ks_small):
-    """Steady states of the small KS model (solved once per session)."""
-    from hank_tpu.solvers.steady_state import get_steady_states
-
-    return get_steady_states(ks_small)
+    """Initial steady state of the small KS model (disk-cached)."""
+    return solve_ss_cached(ks_small)

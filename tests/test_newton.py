@@ -1,0 +1,91 @@
+"""Path solvers: Boehl y-iteration, Newton-Krylov, dense Newton — agreement,
+convergence, and boundary behavior under a transitory TFP shock."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hank_tpu.solvers.newton import (
+    make_full_residual_fn,
+    newton_raphson_hank,
+    solve_path_dense,
+)
+from hank_tpu.solvers.ss_jacobian import get_steady_state_jacobian
+
+
+@pytest.fixture(scope="module")
+def path_setup(ks_small, ks_small_ss):
+    model, ss = ks_small, ks_small_ss
+    T = model.compspec.T
+    t = jnp.arange(1, T, dtype=jnp.float64)
+    exog = {"Z": 1.0 + 0.1 * 0.8 ** t}
+    x0 = jnp.tile(jnp.asarray(
+        [ss.vars[k] for k in model.vars_of_type("endogenous")]), T - 1)
+    Jbar = get_steady_state_jacobian(ss, model)
+    return model, ss, exog, x0, Jbar
+
+
+def test_newton_krylov_converges(path_setup):
+    model, ss, exog, x0, Jbar = path_setup
+    x, info = newton_raphson_hank(x0, Jbar, exog, model, ss, ss,
+                                  method="newton_krylov", eps=1e-9)
+    assert float(info["residual_norm"]) < 1e-9
+    assert int(info["iterations"]) <= 10
+
+
+def test_boehl_converges(path_setup):
+    model, ss, exog, x0, Jbar = path_setup
+    x, info = newton_raphson_hank(x0, Jbar, exog, model, ss, ss,
+                                  method="boehl", eps=1e-9)
+    assert float(info["residual_norm"]) < 1e-8
+    assert int(info["iterations"]) <= 20
+
+
+def test_solvers_agree_with_dense(path_setup):
+    """1e-8 pointwise agreement between the fast solvers and the
+    ground-truth dense-Jacobian Newton (build-plan step 6/8)."""
+    model, ss, exog, x0, Jbar = path_setup
+    x_d, info_d = solve_path_dense(x0, exog, model, ss, ss, eps=1e-10)
+    assert float(info_d["residual_norm"]) < 1e-9
+
+    x_nk, _ = newton_raphson_hank(x0, Jbar, exog, model, ss, ss,
+                                  method="newton_krylov", eps=1e-10)
+    x_bo, _ = newton_raphson_hank(x0, Jbar, exog, model, ss, ss,
+                                  method="boehl", eps=1e-10)
+    assert float(jnp.max(jnp.abs(x_nk - x_d))) < 1e-8
+    assert float(jnp.max(jnp.abs(x_bo - x_d))) < 1e-8
+
+
+def test_solution_economics(path_setup):
+    """The solved path starts above SS output (positive TFP shock) and
+    returns to the steady state by the terminal period."""
+    model, ss, exog, x0, Jbar = path_setup
+    x, _ = newton_raphson_hank(x0, Jbar, exog, model, ss, ss,
+                               method="newton_krylov")
+    Tm1 = model.compspec.T - 1
+    path = np.asarray(x).reshape(Tm1, model.compspec.n_endog)
+    names = model.vars_of_type("endogenous")
+    Y = path[:, names.index("Y")]
+    Y_ss = float(ss.vars["Y"])
+    assert Y[0] > Y_ss + 1e-3                      # impact response of output
+    # With T=12 the economy hasn't fully reverted; require the deviation to
+    # have shrunk substantially from impact.
+    assert abs(Y[-1] - Y_ss) < 0.75 * abs(Y[0] - Y_ss)
+    r = path[:, names.index("r")]
+    assert np.all(np.isfinite(r))
+
+
+def test_zero_shock_stays_at_ss(path_setup):
+    model, ss, _, x0, Jbar = path_setup
+    Tm1 = model.compspec.T - 1
+    exog0 = {"Z": jnp.full((Tm1,), 1.0)}
+    x, info = newton_raphson_hank(x0, Jbar, exog0, model, ss, ss,
+                                  method="newton_krylov")
+    assert float(jnp.max(jnp.abs(x - x0))) < 1e-8
+
+
+def test_residual_fn_shape(path_setup):
+    model, ss, exog, x0, _ = path_setup
+    F = make_full_residual_fn(model, ss, ss, exog)
+    out = F(x0)
+    assert out.shape == x0.shape  # square system
