@@ -87,7 +87,11 @@ def lottery_apply(policy: jnp.ndarray, D: jnp.ndarray, grid: jnp.ndarray,
     jc, w = lottery_weights(p2, grid)
 
     if dense is None:
-        dense = n_a <= 1024
+        # Dense one-hot contraction wins on TPU (XLA:TPU serializes
+        # duplicate-index scatter-adds); scatter wins on CPU.
+        import jax
+
+        dense = jax.default_backend() in ("tpu", "axon") and n_a <= 1024
 
     if dense:
         a_to = jnp.arange(n_a, dtype=jnp.int32)

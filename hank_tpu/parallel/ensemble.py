@@ -55,9 +55,11 @@ def solve_ensemble(x0: jnp.ndarray,
     Returns (x_paths (B, n), info dict of (B,) diagnostics).
     """
     def solve_one(x0_one, exog):
+        # host_outer=False: the outer loop must be traced under vmap.
         return newton_raphson_hank(x0_one, Jbar, exog, model,
                                    ss_initial, ss_ending,
-                                   method=method, **solver_kwargs)
+                                   method=method, host_outer=False,
+                                   **solver_kwargs)
 
     B = next(iter(exog_batch.values())).shape[0]
     if x0.ndim == 1:

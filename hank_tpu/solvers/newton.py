@@ -71,15 +71,12 @@ def newton_raphson_hank(
     model,
     ss_initial,
     ss_ending,
-    *,
-    eps: float = 1e-9,
-    method: str = "newton_krylov",
-    max_outer: int | None = None,
-    max_inner: int = 500,
-    gmres_restart: int = 30,
-    gmres_maxiter: int = 8,
+    **kwargs,
 ) -> tuple[jnp.ndarray, dict]:
     """Solve F(x) = 0 for the perfect-foresight transition path.
+
+    One-shot convenience over `make_path_solver` (which returns a reusable
+    jit-compiled solver — use that when solving repeatedly with one model).
 
     Args:
       x0: initial guess, flat (n_endog·(T-1),) (typically the SS sequence).
@@ -87,25 +84,87 @@ def newton_raphson_hank(
         `get_steady_state_jacobian` (factored once, reused throughout).
       method: "boehl" (y-iteration, `NewtonRaphson.jl:65-114`) or
         "newton_krylov" (preconditioned GMRES on the JVP operator).
+      direction_dtype: optional lower precision (jnp.float32) for the JVP
+        sweeps that build search directions — inexact Newton: residuals and
+        the solution stay in x0's dtype (f64), so the final accuracy is
+        unchanged while the hot sweeps run at f32 speed on TPU.
 
     Returns (x_solution, info) with info = {"iterations", "residual_norm",
     "y_norm"} as device scalars.
     """
+    return make_path_solver(Jbar, exog_paths, model, ss_initial, ss_ending,
+                            **kwargs)(x0)
+
+
+def make_path_solver(
+    Jbar: jnp.ndarray,
+    exog_paths: Mapping[str, jnp.ndarray],
+    model,
+    ss_initial,
+    ss_ending,
+    *,
+    eps: float = 1e-9,
+    method: str = "newton_krylov",
+    max_outer: int | None = None,
+    max_inner: int = 500,
+    gmres_restart: int = 30,
+    gmres_maxiter: int = 8,
+    direction_dtype=None,
+    host_outer: bool = True,
+    verbose: bool = False,
+    records: list | None = None,
+):
+    """Build a reusable jit-compiled path solver `run(x0) -> (x, info)`.
+
+    Compiles once; call with many initial guesses. See `newton_raphson_hank`
+    for parameter semantics.
+
+    host_outer: drive the outer Newton loop from the host (a handful of
+      iterations; enables per-iteration records and avoids a v5e kernel fault
+      observed with nested while_loops over the dual-precision program). Set
+      False for the fully-traced variant (required under vmap — ensembles).
+    records: optional list; appended one dict per outer iteration
+      (residual norm, inner sweeps) when host_outer is set — the structured
+      observability the reference's println lines lack (SURVEY §5).
+    """
     F = make_full_residual_fn(model, ss_initial, ss_ending, exog_paths)
     solve_jbar = make_reusable_solver(Jbar)
     max_outer = max_outer or config.path_newton_max_iter
+    x_dtype = config.dtype
+
+    if direction_dtype is not None and direction_dtype != x_dtype:
+        from hank_tpu.ops.precision import cast_model, cast_paths, cast_ss
+
+        F_dir = make_full_residual_fn(
+            cast_model(model, direction_dtype),
+            cast_ss(ss_initial, direction_dtype),
+            cast_ss(ss_ending, direction_dtype),
+            cast_paths(exog_paths, direction_dtype))
+
+        def jvp_dir(x, v):
+            out = jax.jvp(F_dir, (x.astype(direction_dtype),),
+                          (v.astype(direction_dtype),))[1]
+            return out.astype(x.dtype)
+    else:
+        def jvp_dir(x, v):
+            return jax.jvp(F, (x,), (v,))[1]
 
     if method == "boehl":
-        def y_iteration(x, y0):
-            Fx = F(x)
+        # With f32 directions the inner fixed point cannot settle below the
+        # f32 noise floor, which is *relative* to ‖y‖ — so the inner stopping
+        # rule uses a relative tolerance and the outer loop converges on the
+        # full-precision residual norm instead of ‖y‖.
+        inner_rtol = 1e-6 if direction_dtype == jnp.float32 else 0.0
 
+        def y_iteration(x, y0, Fx):
             def cond(carry):
-                _, _, diff, it = carry
-                return (diff > eps) & (it < max_inner)
+                y, _, diff, it = carry
+                tol = jnp.maximum(eps, inner_rtol * jnp.linalg.norm(y))
+                return (diff > tol) & (it < max_inner)
 
             def body(carry):
                 y, _, _, it = carry
-                _, Lxy = jax.jvp(F, (x,), (y,))
+                Lxy = jvp_dir(x, y)
                 R = solve_jbar(Fx - Lxy)
                 M = solve_jbar(Lxy)
                 ray = jnp.dot(y, M) / jnp.maximum(jnp.dot(y, y), 1e-300)
@@ -118,25 +177,90 @@ def newton_raphson_hank(
             return y, inner_its
 
         @jax.jit
+        def outer_step(x, y):
+            Fx = F(x)                           # full-precision residual
+            y_new, inner_its = y_iteration(x, y, Fx)
+            x_new = x - y_new
+            return x_new, y_new, jnp.linalg.norm(F(x_new)), inner_its
+
+        if host_outer:
+            def run(x0):
+                x, y = x0, x0
+                fnorm = float(jnp.linalg.norm(F(x0)))
+                iters = total_inner = 0
+                while fnorm > eps and iters < max_outer:
+                    x, y, fn, inner_its = outer_step(x, y)
+                    fnorm = float(fn)
+                    iters += 1
+                    total_inner += int(inner_its)
+                    if verbose:
+                        print(f"[boehl] outer {iters}: |F| = {fnorm:.3e} "
+                              f"(+{int(inner_its)} sweeps)")
+                    if records is not None:
+                        records.append({"iteration": iters,
+                                        "residual_norm": fnorm,
+                                        "inner_sweeps": int(inner_its)})
+                return x, {"iterations": iters, "inner_iterations": total_inner,
+                           "residual_norm": fnorm,
+                           "y_norm": float(jnp.linalg.norm(y))}
+
+            return run
+
+        @jax.jit
         def run(x0):
             def cond(carry):
-                _, y, it, _ = carry
-                return (jnp.linalg.norm(y) > eps) & (it < max_outer)
+                _, _, fnorm, it, _ = carry
+                return (fnorm > eps) & (it < max_outer)
 
             def body(carry):
-                x, y, it, tot = carry
-                y_new, inner_its = y_iteration(x, y)
-                return x - y_new, y_new, it + 1, tot + inner_its
+                x, y, _, it, tot = carry
+                x_new, y_new, fnorm, inner_its = outer_step(x, y)
+                return x_new, y_new, fnorm, it + 1, tot + inner_its
 
-            x, y, iters, total_inner = jax.lax.while_loop(
-                cond, body, (x0, x0, 0, 0))
+            fnorm0 = jnp.linalg.norm(F(x0))
+            x, y, fnorm, iters, total_inner = jax.lax.while_loop(
+                cond, body, (x0, x0, fnorm0, 0, 0))
             return x, {"iterations": iters, "inner_iterations": total_inner,
-                       "residual_norm": jnp.linalg.norm(F(x)),
+                       "residual_norm": fnorm,
                        "y_norm": jnp.linalg.norm(y)}
 
-        return run(x0)
+        return run
 
     if method == "newton_krylov":
+        # f32 operator floor: don't ask GMRES for more than the JVP noise.
+        gmres_tol = 3e-7 if direction_dtype == jnp.float32 else 1e-12
+
+        @jax.jit
+        def nk_step(x):
+            Fx = F(x)
+            A = lambda v: jvp_dir(x, v)  # noqa: E731
+            d, _ = jax.scipy.sparse.linalg.gmres(
+                A, Fx, x0=solve_jbar(Fx), M=solve_jbar,
+                tol=gmres_tol, atol=0.0,
+                restart=gmres_restart, maxiter=gmres_maxiter,
+                solve_method="batched")
+            x_new = x - d
+            return x_new, jnp.linalg.norm(F(x_new))
+
+        if host_outer:
+            def run(x0):
+                x = x0
+                fnorm = float("inf")
+                iters = 0
+                while fnorm > eps and iters < max_outer:
+                    x, fn = nk_step(x)
+                    fnorm = float(fn)
+                    iters += 1
+                    if verbose:
+                        print(f"[newton_krylov] outer {iters}: |F| = {fnorm:.3e}")
+                    if records is not None:
+                        records.append({"iteration": iters,
+                                        "residual_norm": fnorm})
+                return x, {"iterations": iters, "residual_norm": fnorm,
+                           "y_norm": fnorm}
+
+            return run
+
         @jax.jit
         def run(x0):
             def cond(carry):
@@ -145,22 +269,15 @@ def newton_raphson_hank(
 
             def body(carry):
                 x, _, it = carry
-                Fx = F(x)
-                A = lambda v: jax.jvp(F, (x,), (v,))[1]  # noqa: E731
-                d, _ = jax.scipy.sparse.linalg.gmres(
-                    A, Fx, x0=solve_jbar(Fx), M=solve_jbar,
-                    tol=1e-12, atol=0.0,
-                    restart=gmres_restart, maxiter=gmres_maxiter,
-                    solve_method="batched")
-                x_new = x - d
-                return x_new, jnp.linalg.norm(F(x_new)), it + 1
+                x_new, fnorm = nk_step(x)
+                return x_new, fnorm, it + 1
 
             x, fnorm, iters = jax.lax.while_loop(
                 cond, body, (x0, jnp.inf, 0))
             return x, {"iterations": iters, "residual_norm": fnorm,
                        "y_norm": fnorm}
 
-        return run(x0)
+        return run
 
     raise ValueError(f"unknown method '{method}' (expected 'boehl' or 'newton_krylov')")
 

@@ -18,7 +18,8 @@ _flags = os.environ.get("XLA_FLAGS", "")
 _needs_env = (os.environ.get("JAX_PLATFORMS") != "cpu"
               or "xla_force_host_platform_device_count" not in _flags
               or os.environ.get("PALLAS_AXON_POOL_IPS"))
-if _needs_env and os.environ.get("_HANK_TPU_TEST_REEXEC") != "1":
+_under_pytest = "PYTEST_VERSION" in os.environ or "pytest" in sys.argv[0]
+if _needs_env and _under_pytest and os.environ.get("_HANK_TPU_TEST_REEXEC") != "1":
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)   # disable axon sitecustomize
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
