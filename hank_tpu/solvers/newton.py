@@ -150,30 +150,38 @@ def make_path_solver(
             return jax.jvp(F, (x,), (v,))[1]
 
     if method == "boehl":
-        # With f32 directions the inner fixed point cannot settle below the
-        # f32 noise floor, which is *relative* to ‖y‖ — so the inner stopping
-        # rule uses a relative tolerance and the outer loop converges on the
-        # full-precision residual norm instead of ‖y‖.
-        inner_rtol = 1e-6 if direction_dtype == jnp.float32 else 0.0
+        # Inexact-Newton inner stop: R = J̄⁻¹(F(x) − J(x)y) is the
+        # preconditioned residual of the linear system J y = F(x) (computed
+        # in the body anyway); stop when it has dropped by `inner_eta`
+        # relative to the initial preconditioned residual J̄⁻¹F(x). With f32
+        # directions the achievable floor is the f32 noise, so η is looser —
+        # the outer loop still converges to full f64 accuracy since residuals
+        # stay full-precision (classic inexact Newton). η = 1e-5 balances
+        # inner sweeps against outer iterations: each outer contraction is
+        # ~η, so ~2-3 outers cover 1 → 1e-9 while the inner Richardson stops
+        # as soon as the linear model is solved to the useful accuracy.
+        inner_eta = 1e-5
 
         def y_iteration(x, y0, Fx):
+            R0_norm = jnp.linalg.norm(solve_jbar(Fx))
+            tol = jnp.maximum(inner_eta * R0_norm, 1e-300)
+
             def cond(carry):
-                y, _, diff, it = carry
-                tol = jnp.maximum(eps, inner_rtol * jnp.linalg.norm(y))
-                return (diff > tol) & (it < max_inner)
+                _, rnorm, it = carry
+                return (rnorm > tol) & (it < max_inner)
 
             def body(carry):
-                y, _, _, it = carry
+                y, _, it = carry
                 Lxy = jvp_dir(x, y)
                 R = solve_jbar(Fx - Lxy)
                 M = solve_jbar(Lxy)
                 ray = jnp.dot(y, M) / jnp.maximum(jnp.dot(y, y), 1e-300)
                 alpha = _boehl_alpha(ray)
                 y_new = y + alpha * R
-                return y_new, y, jnp.linalg.norm(y_new - y), it + 1
+                return y_new, jnp.linalg.norm(R), it + 1
 
-            y, _, _, inner_its = jax.lax.while_loop(
-                cond, body, (y0, jnp.full_like(y0, jnp.inf), jnp.inf, 0))
+            y, _, inner_its = jax.lax.while_loop(
+                cond, body, (y0, jnp.inf, 0))
             return y, inner_its
 
         @jax.jit

@@ -105,11 +105,15 @@ def test_hank_monetary_shock_path(hank_small, hank_ss):
     names = model.vars_of_type("endogenous")
     r_path = path[:, names.index("r")]
     pi_path = path[:, names.index("pi")]
-    # Expansionary shock: the realised real rate falls on impact (lagged
-    # nominal rate fixed, inflation jumps) and inflation rises. The nominal
-    # rate itself may rise through the forward-looking φπ·π(+1) term.
-    assert r_path[0] < float(ss.vars["r"])
-    assert pi_path[0] > float(ss.vars["pi"])
-    # Path returns toward SS by the horizon end.
-    assert abs(pi_path[-1] - float(ss.vars["pi"])) < 0.5 * abs(
-        pi_path[0] - float(ss.vars["pi"]))
+    pi_dev = pi_path - float(ss.vars["pi"])
+    # Endowment-economy logic: bond clearing pins the real-rate path at its
+    # SS value (household demand is a function of {r_t, Y} only), while
+    # π_1 is pinned by the lagged nominal rate — the nominal side absorbs
+    # the shock from t = 2 via Taylor + Fisher: π_2 − π_ss ≈ ε_1/((1+r)−φπ).
+    assert np.max(np.abs(r_path - float(ss.vars["r"]))) < 1e-6
+    assert abs(pi_dev[0]) < 1e-6                       # impact π pinned
+    eps1 = -0.002 * 0.6
+    predicted = eps1 / ((1 + float(ss.vars["r"])) - model.params["phi_pi"])
+    assert abs(pi_dev[1] - predicted) < 0.2 * abs(predicted)
+    # Deviation decays well below its peak by the horizon end.
+    assert abs(pi_dev[-1]) < 0.05 * np.max(np.abs(pi_dev))
