@@ -20,6 +20,10 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# TPU f32 matmuls default to bf16 passes; the solver's f32 direction sweeps
+# need true f32 accuracy (matmuls here are tiny — no performance cost).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent XLA compilation cache: the solver's jitted pipelines (scans +
 # while_loops + refinement solves) are expensive to compile; caching makes
 # repeated CLI runs / test sessions start in seconds.
