@@ -106,6 +106,63 @@ def invariant_dist_colstoch(Lam: jnp.ndarray) -> jnp.ndarray:
     return D / jnp.sum(D)
 
 
+def make_invariant_solver(apply_fn, *, eps: float = 1e-13,
+                          max_iter: int = 200_000):
+    """Matrix-free stationary distribution with implicit differentiation.
+
+    `apply_fn(params, D) -> D'` is one period of the (column-stochastic)
+    transition expressed as ops (lottery scatter/einsum + Markov matmuls) —
+    the n_m × n_m matrix is never formed, so this scales to state spaces
+    where the dense path (`invariant_dist_colstoch`) cannot (two-asset HANK:
+    n_b·n_a·n_e ≳ 10⁴ states).
+
+    Primal: Aitken-accelerated power iteration D ← apply(params, D).
+    Tangent (custom_jvp): the IFT system dD = ∂_D apply·dD + ∂_p apply·dp
+    with Σ dD = 0, solved by the same accelerated affine fixed point — the
+    same mathematics as the reference's Dual-number Sherman-Morrison overload
+    (`ForwardIteration.jl:480-558`) without any factorization.
+    """
+
+    def _accel_fixed_point(step, x0):
+        def cond(carry):
+            _, _, diff, it = carry
+            return (diff > eps) & (it < max_iter)
+
+        def body(carry):
+            x, diff_prev, _, it = carry
+            x_new = step(x)
+            diff = jnp.max(jnp.abs(x_new - x))
+            lam = jnp.clip(diff / jnp.maximum(diff_prev, 1e-300), 0.0, 0.995)
+            do_ex = (it % 20 == 19) & (it > 40)
+            x_next = jnp.where(do_ex, x_new + (x_new - x) * (lam / (1 - lam)),
+                               x_new)
+            return x_next, diff, diff, it + 1
+
+        x, _, _, _ = jax.lax.while_loop(cond, body, (x0, jnp.inf, jnp.inf, 0))
+        return x
+
+    @jax.custom_jvp
+    def solve(params, D0):
+        D = _accel_fixed_point(lambda d: apply_fn(params, d), D0)
+        return D / jnp.sum(D)
+
+    @solve.defjvp
+    def solve_jvp(primals, tangents):
+        (params, D0), (dparams, _) = primals, tangents
+        D_star = solve(params, D0)
+
+        def tan_step_proj(dD):
+            dD_new = jax.jvp(apply_fn, (params, D_star), (dparams, dD))[1]
+            # project onto the sum-zero subspace (differentiated normalization)
+            return dD_new - jnp.sum(dD_new) / dD_new.size
+
+        dD_star = _accel_fixed_point(tan_step_proj, jnp.zeros_like(D_star))
+        dD_star = dD_star - jnp.sum(dD_star) / dD_star.size
+        return D_star, dD_star
+
+    return solve
+
+
 def rayleigh_quotient(My: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """⟨y, M y⟩ / ⟨y, y⟩ given the precomputed product M y
     (`GeneralStructures.jl:559-561`; used for Boehl step-size adaptation)."""

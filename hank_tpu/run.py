@@ -1,0 +1,117 @@
+"""End-to-end driver: model -> steady states -> J̄ -> transition path.
+
+Capability parity with the reference's driver layer (`RunMain.jl:12-61`,
+`solveModel`): build the model, solve both steady states, compute the SS
+sequence-space Jacobian, generate the shock path, run the Newton solver, and
+report/save the solved transition. Usable as a library call (`solve_model`)
+or CLI:
+
+    python -m hank_tpu.run --model krusell_smith --T 300 \
+        --method newton_krylov --mixed --out /tmp/path.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def solve_model(model, exog_paths=None, *, method: str = "newton_krylov",
+                direction_dtype=None, eps: float = 1e-8, verbose: bool = True,
+                cache: bool = True, records: list | None = None):
+    """Full solve: steady states + J̄ (cached) + transition path.
+
+    Returns (x_path (T-1, n_endog), info, ss_initial, ss_ending).
+    The reference's `solveModel(mod, stst, j̅)` equivalent.
+    """
+    from hank_tpu.model.structures import generate_exog_paths
+    from hank_tpu.solvers.newton import make_path_solver
+    from hank_tpu.utils.checkpoint import get_or_solve
+    from hank_tpu.utils.timing import phase
+
+    recs = records if records is not None else []
+    with phase("steady states + SS Jacobian", recs, verbose):
+        ss0, ssT, Jbar = get_or_solve(model, verbose=verbose, cache=cache)
+
+    Tm1 = model.compspec.T - 1
+    if exog_paths is None:
+        exog_paths = generate_exog_paths(model, Tm1)
+
+    endog = model.vars_of_type("endogenous")
+    x0 = jnp.tile(jnp.asarray([ssT.vars[k] for k in endog]), Tm1)
+
+    if method == "dense":
+        from hank_tpu.solvers.newton import solve_path_dense
+
+        with phase("path solve (dense)", recs, verbose):
+            x, info = solve_path_dense(x0, exog_paths, model, ss0, ssT, eps=eps)
+    else:
+        solver = make_path_solver(Jbar, exog_paths, model, ss0, ssT,
+                                  method=method, direction_dtype=direction_dtype,
+                                  eps=eps, verbose=verbose, records=records)
+        with phase("path solve", recs, verbose):
+            x, info = solver(x0)
+    x_path = np.asarray(x).reshape(Tm1, len(endog))
+    return x_path, info, ss0, ssT
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="hank_tpu end-to-end solver")
+    parser.add_argument("--model", default="krusell_smith",
+                        help="shipped model name or path to a YAML spec")
+    parser.add_argument("--T", type=int, default=None, help="override horizon")
+    parser.add_argument("--method", default="newton_krylov",
+                        choices=["newton_krylov", "boehl", "dense"])
+    parser.add_argument("--mixed", action="store_true",
+                        help="f32 direction sweeps (inexact Newton)")
+    parser.add_argument("--eps", type=float, default=1e-8)
+    parser.add_argument("--out", default=None, help="CSV output path")
+    parser.add_argument("--no-cache", action="store_true")
+    args = parser.parse_args(argv)
+
+    from hank_tpu.models import SHIPPED, load_model
+    from hank_tpu.model.parser import build_model_from_yaml
+
+    if args.model in SHIPPED:
+        model = load_model(args.model, **({"T": args.T} if args.T else {}))
+    else:
+        model = build_model_from_yaml(args.model)
+        if args.T:
+            import dataclasses
+            model = dataclasses.replace(
+                model, compspec=dataclasses.replace(model.compspec, T=args.T))
+
+    t0 = time.time()
+    x_path, info, ss0, ssT = solve_model(
+        model, method=args.method,
+        direction_dtype=jnp.float32 if args.mixed else None,
+        eps=args.eps, cache=not args.no_cache)
+    wall = time.time() - t0
+
+    endog = model.vars_of_type("endogenous")
+    summary = {
+        "model": model.name or args.model,
+        "T": model.compspec.T,
+        "method": args.method + ("-mixed" if args.mixed else ""),
+        "iterations": int(info["iterations"]),
+        "residual_norm": float(info["residual_norm"]),
+        "wall_seconds": round(wall, 2),
+        "impact": {k: float(x_path[0, i]) for i, k in enumerate(endog)},
+        "terminal": {k: float(x_path[-1, i]) for i, k in enumerate(endog)},
+    }
+    print(json.dumps(summary, indent=2))
+
+    if args.out:
+        header = ",".join(("t",) + endog)
+        rows = np.column_stack([np.arange(1, x_path.shape[0] + 1), x_path])
+        np.savetxt(args.out, rows, delimiter=",", header=header, comments="")
+        print(f"path written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -212,6 +212,48 @@ def get_steady_state_jacobian(ss, model, boundary_correction: bool = False) -> j
                              boundary_correction=boundary_correction)
 
 
+def direct_jacobian_columns(ss_initial, ss_ending, model,
+                            columns,
+                            exog_paths: Mapping[str, jnp.ndarray] | None = None,
+                            mode: str = "jvp",
+                            fd_step: float = 1e-4) -> jnp.ndarray:
+    """Selected Jacobian columns of the FULL pipeline by JVP or finite
+    differences — the reference's AD-validation tools `directJVPJacobian` /
+    `directNumJacobian` (`SteadyState.jl:296-356`), generalized to arbitrary
+    column sets.
+
+    Returns (n, len(columns)).
+    """
+    from hank_tpu.solvers.newton import make_full_residual_fn
+
+    Tm1 = model.compspec.T - 1
+    if exog_paths is None:
+        exog_paths = {k: jnp.full((Tm1,), ss_ending.vars[k], dtype=config.dtype)
+                      for k in model.vars_of_type("exogenous")}
+    endog_keys = model.vars_of_type("endogenous")
+    x_ss = jnp.tile(jnp.asarray([ss_ending.vars[k] for k in endog_keys],
+                                dtype=config.dtype), Tm1)
+    F = make_full_residual_fn(model, ss_initial, ss_ending, exog_paths)
+    n = x_ss.shape[0]
+
+    if mode == "jvp":
+        @jax.jit
+        def col(tangent):
+            return jax.jvp(F, (x_ss,), (tangent,))[1]
+
+        cols = [col(jnp.zeros(n, config.dtype).at[c].set(1.0)) for c in columns]
+    elif mode == "fd":
+        F_jit = jax.jit(F)
+        base = F_jit(x_ss)
+        cols = []
+        for c in columns:
+            e = jnp.zeros(n, config.dtype).at[c].set(fd_step)
+            cols.append((F_jit(x_ss + e) - base) / fd_step)
+    else:
+        raise ValueError(f"mode must be 'jvp' or 'fd', got {mode!r}")
+    return jnp.stack(cols, axis=1)
+
+
 def dense_path_jacobian(ss_initial, ss_ending, model,
                         exog_paths: Mapping[str, jnp.ndarray] | None = None) -> jnp.ndarray:
     """Ground-truth dense ∂F/∂x via `jax.jacfwd` through the full pipeline.

@@ -143,14 +143,26 @@ def make_ss_pipeline(model, ss_spec):
     het_idx = np.array([names.index(k) for k in het_keys], dtype=np.int64)
 
     endog_dims = model.endog_dims()
-    if len(endog_dims) != 1:
-        raise NotImplementedError(
-            "steady-state pipeline currently supports exactly one endogenous "
-            "heterogeneity dimension (multi-dim forward ops exist; the dense "
-            "invariant-distribution build is single-dim for now)")
-    endog_dim = endog_dims[0]
     transitions = [d.transition for d in model.exog_dims()]
     state_shape = model.state_shape()
+    grids = [d.grid for d in endog_dims]
+    policy_vars = [d.policy_var for d in endog_dims]
+
+    # Invariant-distribution strategy: direct dense solve for small
+    # single-endogenous-dimension state spaces; matrix-free power iteration
+    # with implicit differentiation otherwise (multi-dim / large grids).
+    use_dense = (len(endog_dims) == 1
+                 and model.n_total() <= config.invariant_dense_max_states)
+    if not use_dense:
+        from hank_tpu.ops.linalg import make_invariant_solver
+        from hank_tpu.ops.transition import exog_apply, lottery_apply_multi
+
+        def _apply(endog_policies, D):
+            return exog_apply(lottery_apply_multi(endog_policies, D, grids),
+                              transitions, len(endog_dims))
+
+        invariant_solve = make_invariant_solver(
+            _apply, eps=min(model.compspec.eps, config.vfi_eps))
 
     vfi = make_vfi_solver(model)
 
@@ -165,9 +177,13 @@ def make_ss_pipeline(model, ss_spec):
         result = model.value_fn(v_star, xvals, model)
         policies = {k: result[k] for k in het_keys}
 
-        lam = dense_full_transition(policies[endog_dim.policy_var],
-                                    endog_dim.grid, transitions)
-        D = invariant_dist_colstoch(lam).reshape(state_shape)
+        if use_dense:
+            lam = dense_full_transition(policies[policy_vars[0]],
+                                        grids[0], transitions)
+            D = invariant_dist_colstoch(lam).reshape(state_shape)
+        else:
+            D0 = jnp.full(state_shape, 1.0 / model.n_total(), dtype=p.dtype)
+            D = invariant_solve([policies[v] for v in policy_vars], D0)
 
         aggs = jnp.stack([jnp.sum(policies[k] * D) for k in het_keys]) \
             if het_keys else jnp.zeros((0,), p.dtype)
