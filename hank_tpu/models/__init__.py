@@ -17,6 +17,7 @@ SHIPPED = {
     "krusell_smith": "krusell_smith.yaml",
     "ks_large_grid": "ks_large_grid.yaml",
     "hank_one_asset": "hank_one_asset.yaml",
+    "hank_two_asset": "hank_two_asset.yaml",
 }
 
 
