@@ -23,6 +23,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,16 +90,20 @@ def lottery_apply(policy: jnp.ndarray, D: jnp.ndarray, grid: jnp.ndarray,
     if dense is None:
         # Dense one-hot contraction wins on TPU (XLA:TPU serializes
         # duplicate-index scatter-adds); scatter wins on CPU.
-        import jax
-
         dense = jax.default_backend() in ("tpu", "axon") and n_a <= 1024
 
     if dense:
+        # Layout: build the mask as (rest, a_from, a_to) so the contraction
+        # runs over the sublane axis with a_to on the lanes — contracting
+        # over a leading (untiled) axis serializes on TPU and costs ~12x in
+        # batched/vmapped use.
         a_to = jnp.arange(n_a, dtype=jnp.int32)
-        lo_hot = (a_to[None, None, :] == (jc - 1)[..., None])
-        hi_hot = (a_to[None, None, :] == jc[..., None])
-        Wmat = (lo_hot * (1.0 - w)[..., None] + hi_hot * w[..., None])
-        out2 = jnp.einsum("arb,ar->br", Wmat.astype(d2.dtype), d2)
+        jc_t = jc.T                                   # (rest, n_a_from)
+        w_t = w.T
+        lo_hot = (a_to[None, None, :] == (jc_t - 1)[..., None])
+        hi_hot = (a_to[None, None, :] == jc_t[..., None])
+        Wmat = (lo_hot * (1.0 - w_t)[..., None] + hi_hot * w_t[..., None])
+        out2 = jnp.einsum("rab,ra->rb", Wmat.astype(d2.dtype), d2.T).T
     else:
         cols = jnp.broadcast_to(jnp.arange(rest)[None, :], (n_a, rest))
         out2 = jnp.zeros_like(d2)
@@ -136,6 +141,51 @@ def forward_step(policy: jnp.ndarray, D: jnp.ndarray, grid: jnp.ndarray,
     Reference: `transition_step`, `ForwardIteration.jl:95-99`.
     """
     return exog_apply(lottery_apply(policy, D, grid), transitions, n_endog_axes)
+
+
+def lottery_apply_monotone(policy: jnp.ndarray, D: jnp.ndarray,
+                           grid: jnp.ndarray) -> jnp.ndarray:
+    """Lottery push-forward for policies MONOTONE along the endogenous axis.
+
+    EGM savings policies are nondecreasing in the own state by construction
+    (interpolation of an increasing value array at increasing queries, then a
+    clamp — see `ops/egm.interp_columns`), so the bracket indices jc are
+    sorted per column. Bucket sums then collapse to prefix sums:
+
+      D'[b] = (P_lo[c_{b+1}] − P_lo[c_b]) + (P_hi[c_b] − P_hi[c_{b−1}])
+
+    with c_k = #{a : jc[a] ≤ k} from one vectorized binary search. Two
+    cumsums + gathers — O(n_a log n_a), no (n_a × n_a) intermediate — which
+    makes it the right lowering for batched ensembles where the dense
+    one-hot mask is HBM-bandwidth-hostile.
+
+    Correctness requires jc nondecreasing per column; results are undefined
+    otherwise (callers: EGM-produced policies only).
+    """
+    shape = D.shape
+    n_a = shape[0]
+    rest = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    p2 = policy.reshape(n_a, rest)
+    d2 = D.reshape(n_a, rest)
+    jc, w = lottery_weights(p2, grid)                  # jc sorted per column
+
+    lo = (1.0 - w) * d2
+    hi = w * d2
+    # Padded prefix sums: P[k] = sum of the first k contributions.
+    zero = jnp.zeros((1, rest), d2.dtype)
+    P_lo = jnp.concatenate([zero, jnp.cumsum(lo, axis=0)], axis=0)
+    P_hi = jnp.concatenate([zero, jnp.cumsum(hi, axis=0)], axis=0)
+
+    # c[k, col] = #{a : jc[a, col] <= k} for k = -1 .. n_a-1 → gather offsets.
+    ks = jnp.arange(n_a)
+    c = jax.vmap(lambda col: jnp.searchsorted(col, ks, side="right"),
+                 in_axes=1, out_axes=1)(jc)            # (n_a, rest): c_k
+    c_prev = jnp.concatenate([jnp.zeros((1, rest), c.dtype), c[:-1]], axis=0)
+    c_next = jnp.concatenate([c[1:], jnp.full((1, rest), n_a, c.dtype)], axis=0)
+
+    take = lambda P, idx: jnp.take_along_axis(P, idx, axis=0)  # noqa: E731
+    out2 = (take(P_lo, c_next) - take(P_lo, c)) + (take(P_hi, c) - take(P_hi, c_prev))
+    return out2.reshape(shape)
 
 
 def lottery_apply_multi(policies: Sequence[jnp.ndarray], D: jnp.ndarray,

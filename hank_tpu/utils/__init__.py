@@ -1,3 +1,3 @@
-from hank_tpu.utils import checkpoint, timing
+from hank_tpu.utils import checkpoint, native, profiling, timing
 
-__all__ = ["checkpoint", "timing"]
+__all__ = ["checkpoint", "native", "profiling", "timing"]
