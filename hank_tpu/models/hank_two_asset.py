@@ -57,18 +57,20 @@ def ValueFunction(value_next, xvals, model):
     liq_inc = (1.0 - s) * inc[None, :] + payout               # (n_a, n_e)
 
     # 2. Continuation marginal value at (b', a'(a,e), e'), then E over e'.
-    #    value_next: (n_b, n_a, n_e'). For each (e, e'): gather along the
-    #    illiquid axis at the n_a query points a_next[:, e].
-    def interp_illiquid(v_slice, q):                          # (n_b, n_a), (n_a,)
-        return jax.vmap(lambda row: jnp.interp(q, agrid, row))(v_slice)
+    #    value_next: (n_b, n_a, n_e'). The queries a_next[:, e] are shared
+    #    across b and e', so ONE bracket search + TWO gathers along the
+    #    illiquid axis cover the whole interpolation (no per-(e,e') loops —
+    #    that formulation exploded compile time through jvp/vmap/while).
+    idx = jnp.sum(agrid[None, None, :] < a_next[:, :, None], axis=-1)  # (n_a, n_e)
+    idx = jnp.clip(idx, 1, n_a - 1)
+    a_lo = agrid[idx - 1]
+    a_hi = agrid[idx]
+    t_w = jnp.clip((a_next - a_lo) / (a_hi - a_lo), 0.0, 1.0)          # (n_a, n_e)
 
-    def w_for_e(q_e):                                         # q_e: (n_a,)
-        # (n_e', n_b, n_a): V(b', a_next, e') for each future state
-        return jax.vmap(lambda ep: interp_illiquid(value_next[:, :, ep], q_e)
-                        )(jnp.arange(n_e))
-
-    W = jax.vmap(w_for_e, in_axes=1, out_axes=0)(a_next)      # (n_e, n_e', n_b, n_a)
-    EV = jnp.einsum("efba,ef->bae", W, Pi)                    # E_{e'|e}; (n_b, n_a, n_e)
+    v_lo = jnp.take(value_next, idx - 1, axis=1)              # (n_b, n_a, n_e, n_e')
+    v_hi = jnp.take(value_next, idx, axis=1)
+    W = v_lo + t_w[None, :, :, None] * (v_hi - v_lo)          # V(b', a', e') per e
+    EV = jnp.einsum("baef,ef->bae", W, Pi)                    # E_{e'|e}; (n_b, n_a, n_e)
 
     # 3. EGM over the liquid choice.
     expected = jnp.maximum(EV, 1e-12)

@@ -46,6 +46,14 @@ def model_hash(model, include_horizon: bool = False) -> str:
     if include_horizon:
         payload["T"] = model.compspec.T
     h.update(json.dumps(payload, sort_keys=True).encode())
+    # The household Bellman step defines the steady state: key on its source
+    # so editing a model's function file invalidates cached artifacts.
+    try:
+        import inspect
+
+        h.update(inspect.getsource(model.value_fn).encode())
+    except (OSError, TypeError):  # builtins / dynamically defined fns
+        pass
     for name, dim in model.heterogeneity.items():
         h.update(name.encode())
         h.update(np.asarray(dim.grid).tobytes())
