@@ -104,11 +104,11 @@ def make_path_solver(
     ss_ending,
     *,
     eps: float = 1e-9,
-    method: str = "newton_krylov",
+    method: str = "boehl",
     max_outer: int | None = None,
     max_inner: int = 500,
-    gmres_restart: int = 30,
-    gmres_maxiter: int = 8,
+    gmres_restart: int = 20,
+    gmres_maxiter: int = 2,
     direction_dtype=None,
     host_outer: bool = True,
     verbose: bool = False,
