@@ -179,12 +179,6 @@ class SequenceModel:
             n *= d.n
         return n
 
-    # ── Row-index helpers for xMat assembly ─────────────────────────────────
-    def rows_of_type(self, t: str) -> tuple[int, ...]:
-        names = self.var_names()
-        return tuple(i for i, k in enumerate(names)
-                     if self.variables[k].var_type == t)
-
 
 def generate_exog_paths(model: SequenceModel, T: int, **kwargs: Any) -> dict[str, jnp.ndarray]:
     """Call each exogenous variable's `seq_fn(T)` (`GeneralStructures.jl:279-289`).

@@ -15,15 +15,6 @@ import jax
 import jax.numpy as jnp
 
 
-def interp1d(x: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndarray:
-    """Piecewise-linear interpolation with flat (constant) extrapolation.
-
-    Equivalent to the reference's Gridded(Linear) + Flat() extrapolation
-    (`KrusellSmith.jl:69-71`). `xp` must be (weakly) increasing.
-    """
-    return jnp.interp(x, xp, fp)
-
-
 def interp_columns(x: jnp.ndarray, knots: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
     """Column-wise interpolation over exogenous states.
 

@@ -165,5 +165,6 @@ def make_invariant_solver(apply_fn, *, eps: float = 1e-13,
 
 def rayleigh_quotient(My: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """⟨y, M y⟩ / ⟨y, y⟩ given the precomputed product M y
-    (`GeneralStructures.jl:559-561`; used for Boehl step-size adaptation)."""
-    return jnp.dot(y, My) / jnp.dot(y, y)
+    (`GeneralStructures.jl:559-561`; drives Boehl step-size adaptation in
+    `solvers/newton.py`). Guarded against y = 0 (first inner iteration)."""
+    return jnp.dot(y, My) / jnp.maximum(jnp.dot(y, y), 1e-300)

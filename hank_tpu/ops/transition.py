@@ -143,51 +143,6 @@ def forward_step(policy: jnp.ndarray, D: jnp.ndarray, grid: jnp.ndarray,
     return exog_apply(lottery_apply(policy, D, grid), transitions, n_endog_axes)
 
 
-def lottery_apply_monotone(policy: jnp.ndarray, D: jnp.ndarray,
-                           grid: jnp.ndarray) -> jnp.ndarray:
-    """Lottery push-forward for policies MONOTONE along the endogenous axis.
-
-    EGM savings policies are nondecreasing in the own state by construction
-    (interpolation of an increasing value array at increasing queries, then a
-    clamp — see `ops/egm.interp_columns`), so the bracket indices jc are
-    sorted per column. Bucket sums then collapse to prefix sums:
-
-      D'[b] = (P_lo[c_{b+1}] − P_lo[c_b]) + (P_hi[c_b] − P_hi[c_{b−1}])
-
-    with c_k = #{a : jc[a] ≤ k} from one vectorized binary search. Two
-    cumsums + gathers — O(n_a log n_a), no (n_a × n_a) intermediate — which
-    makes it the right lowering for batched ensembles where the dense
-    one-hot mask is HBM-bandwidth-hostile.
-
-    Correctness requires jc nondecreasing per column; results are undefined
-    otherwise (callers: EGM-produced policies only).
-    """
-    shape = D.shape
-    n_a = shape[0]
-    rest = int(np.prod(shape[1:])) if len(shape) > 1 else 1
-    p2 = policy.reshape(n_a, rest)
-    d2 = D.reshape(n_a, rest)
-    jc, w = lottery_weights(p2, grid)                  # jc sorted per column
-
-    lo = (1.0 - w) * d2
-    hi = w * d2
-    # Padded prefix sums: P[k] = sum of the first k contributions.
-    zero = jnp.zeros((1, rest), d2.dtype)
-    P_lo = jnp.concatenate([zero, jnp.cumsum(lo, axis=0)], axis=0)
-    P_hi = jnp.concatenate([zero, jnp.cumsum(hi, axis=0)], axis=0)
-
-    # c[k, col] = #{a : jc[a, col] <= k} for k = -1 .. n_a-1 → gather offsets.
-    ks = jnp.arange(n_a)
-    c = jax.vmap(lambda col: jnp.searchsorted(col, ks, side="right"),
-                 in_axes=1, out_axes=1)(jc)            # (n_a, rest): c_k
-    c_prev = jnp.concatenate([jnp.zeros((1, rest), c.dtype), c[:-1]], axis=0)
-    c_next = jnp.concatenate([c[1:], jnp.full((1, rest), n_a, c.dtype)], axis=0)
-
-    take = lambda P, idx: jnp.take_along_axis(P, idx, axis=0)  # noqa: E731
-    out2 = (take(P_lo, c_next) - take(P_lo, c)) + (take(P_hi, c) - take(P_hi, c_prev))
-    return out2.reshape(shape)
-
-
 def lottery_apply_multi(policies: Sequence[jnp.ndarray], D: jnp.ndarray,
                         grids: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Joint Young lottery over k endogenous axes (k = len(policies)).

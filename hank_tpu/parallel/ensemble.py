@@ -67,15 +67,13 @@ def solve_ensemble(x0: jnp.ndarray,
 
     fn = jax.vmap(solve_one)
     if mesh is not None:
+        # Everything batched is dp-sharded: the paths (B, n) and the info
+        # diagnostics (each a (B,) leaf) alike; J̄ and the model close over
+        # the function and are replicated by XLA.
         shard = NamedSharding(mesh, P("dp"))
-        repl = NamedSharding(mesh, P())
-        fn = jax.jit(
-            jax.vmap(solve_one),
-            in_shardings=(shard, {k: shard for k in exog_batch}),
-            out_shardings=(shard, None))
-
-        def fn_call(x0b, exb):
-            return fn(x0b, exb)
-        return fn_call(x0, exog_batch)
-
-    return jax.jit(fn)(x0, exog_batch)
+        fn = jax.jit(fn,
+                     in_shardings=(shard, {k: shard for k in exog_batch}),
+                     out_shardings=(shard, shard))
+    else:
+        fn = jax.jit(fn)
+    return fn(x0, exog_batch)

@@ -30,7 +30,7 @@ from hank_tpu.blocks.assemble import assemble_full_xmat, residuals as eval_resid
 from hank_tpu.blocks.backward import backward_iteration
 from hank_tpu.blocks.forward import forward_iteration
 from hank_tpu.config import config
-from hank_tpu.ops.linalg import dense_solve, make_reusable_solver
+from hank_tpu.ops.linalg import dense_solve, make_reusable_solver, rayleigh_quotient
 
 
 def make_full_residual_fn(model, ss_initial, ss_ending,
@@ -49,6 +49,20 @@ def make_full_residual_fn(model, ss_initial, ss_ending,
                                    ss_initial.vars, ss_ending.vars)
         return eval_residuals(x_mat, model)
     return F
+
+
+def _check_finite(fnorm: float, method: str, iteration: int, x: jnp.ndarray) -> None:
+    """NaN/Inf guard around Newton steps (config.debug_nans; the analogue of
+    the reference's `safe_eval` Inf-fill diagnostics, `SteadyState.jl:199`)."""
+    import math
+
+    if config.debug_nans and not math.isfinite(fnorm):
+        n_bad = int(jnp.sum(~jnp.isfinite(x)))
+        raise FloatingPointError(
+            f"[{method}] non-finite residual norm {fnorm} at outer iteration "
+            f"{iteration} ({n_bad}/{x.size} non-finite entries in x). "
+            "Likely an infeasible aggregate path (e.g. r < -1); loosen the "
+            "shock or start closer to the steady state.")
 
 
 def _boehl_alpha(ray: jnp.ndarray) -> jnp.ndarray:
@@ -175,8 +189,7 @@ def make_path_solver(
                 Lxy = jvp_dir(x, y)
                 R = solve_jbar(Fx - Lxy)
                 M = solve_jbar(Lxy)
-                ray = jnp.dot(y, M) / jnp.maximum(jnp.dot(y, y), 1e-300)
-                alpha = _boehl_alpha(ray)
+                alpha = _boehl_alpha(rayleigh_quotient(M, y))
                 y_new = y + alpha * R
                 return y_new, jnp.linalg.norm(R), it + 1
 
@@ -199,6 +212,7 @@ def make_path_solver(
                 while fnorm > eps and iters < max_outer:
                     x, y, fn, inner_its = outer_step(x, y)
                     fnorm = float(fn)
+                    _check_finite(fnorm, "boehl", iters + 1, x)
                     iters += 1
                     total_inner += int(inner_its)
                     if verbose:
@@ -258,6 +272,7 @@ def make_path_solver(
                 while fnorm > eps and iters < max_outer:
                     x, fn = nk_step(x)
                     fnorm = float(fn)
+                    _check_finite(fnorm, "newton_krylov", iters + 1, x)
                     iters += 1
                     if verbose:
                         print(f"[newton_krylov] outer {iters}: |F| = {fnorm:.3e}")

@@ -17,6 +17,8 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
+from hank_tpu.config import config
+
 
 def default_cache_dir() -> str:
     d = os.environ.get("HANK_TPU_CACHE",
@@ -38,10 +40,17 @@ def model_hash(model, include_horizon: bool = False) -> str:
         "params": {k: float(v) for k, v in model.params.items()},
         "eps": model.compspec.eps,
         "vars": [(k, v.var_type) for k, v in model.variables.items()],
+        # bounds matter: changing them can move the projected Newton to a
+        # different basin (a different steady state); dtype matters: runs at
+        # different compute precisions must not share cache entries.
         "ss_initial": [sorted(model.ss_initial.fixed.items()),
-                       sorted(model.ss_initial.guesses.items())],
+                       sorted(model.ss_initial.guesses.items()),
+                       sorted(model.ss_initial.bounds.items())],
         "ss_ending": [sorted(model.ss_ending.fixed.items()),
-                      sorted(model.ss_ending.guesses.items())],
+                      sorted(model.ss_ending.guesses.items()),
+                      sorted(model.ss_ending.bounds.items())],
+        "dtype": str(config.dtype.__name__ if hasattr(config.dtype, "__name__")
+                     else config.dtype),
     }
     if include_horizon:
         payload["T"] = model.compspec.T

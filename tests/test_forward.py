@@ -169,34 +169,4 @@ def test_forward_iteration_at_ss_is_constant(ks_small, ks_small_ss):
     assert np.allclose(kd, float(ss.vars["KD"]), atol=1e-9)
 
 
-def test_lottery_monotone_matches_scatter():
-    """Cumsum-based monotone lottery == scatter lottery for sorted policies."""
-    from hank_tpu.ops.transition import lottery_apply_monotone
 
-    rng = np.random.default_rng(11)
-    grid = jnp.asarray(np.sort(rng.uniform(0, 10, 31)))
-    # Monotone policies (EGM-like), including boundary clamps.
-    base = np.sort(rng.uniform(-1.0, 11.5, size=(31, 5)), axis=0)
-    policy = jnp.asarray(base)
-    D = rng.uniform(0.1, 1.0, size=(31, 5)); D /= D.sum()
-    D = jnp.asarray(D)
-    ref = lottery_apply(policy, D, grid, dense=False)
-    out = lottery_apply_monotone(policy, D, grid)
-    assert float(jnp.max(jnp.abs(out - ref))) < 1e-14
-
-
-def test_lottery_monotone_gradients_match():
-    from hank_tpu.ops.transition import lottery_apply_monotone
-
-    rng = np.random.default_rng(13)
-    grid = jnp.asarray(np.sort(rng.uniform(0, 10, 15)))
-    base = np.sort(rng.uniform(0.5, 9.5, size=(15, 3)), axis=0)
-    policy = jnp.asarray(base)
-    D = jnp.asarray(rng.uniform(0.1, 1.0, size=(15, 3)))
-    cot = jnp.asarray(rng.normal(size=(15, 3)))
-
-    g_ref = jax.grad(lambda p: jnp.sum(
-        lottery_apply(p, D, grid, dense=False) * cot))(policy)
-    g_mon = jax.grad(lambda p: jnp.sum(
-        lottery_apply_monotone(p, D, grid) * cot))(policy)
-    assert float(jnp.max(jnp.abs(g_ref - g_mon))) < 1e-12
