@@ -45,6 +45,14 @@ class Config:
     # states; larger state spaces use the matrix-free power-iteration path.
     invariant_dense_max_states: int = 4096
 
+    # Matrix-free invariant-distribution sup-norm tolerance. Tighter than
+    # vfi_eps: a distribution converged to δ leaves the forward push-forward
+    # with an O(δ·a_max) per-period drift in asset aggregates (the residual
+    # of the aggregate-clearing equations then GROWS linearly along the
+    # path — measured 2e-9/period at δ = 1e-12 on the two-asset model, which
+    # breaches a 1e-8 path-consistency target by T ≈ 10).
+    invariant_eps: float = 1e-14
+
     # Iterative-refinement sweeps for f64 solves built on f32 LU.
     refine_iters: int = 8
 

@@ -1,12 +1,55 @@
-"""Two-asset HANK model functions (fiscal shock).
+"""Two-asset HANK model functions (fiscal shock) — Calvo-access portfolio.
 
-Household state: (liquid b, illiquid a, productivity e). The illiquid
-account accumulates mechanically (pension-style): x = (1+ra)·a + s·inc(e),
-a' = (1−λ)·x, payout λ·x into the liquid budget. The liquid choice is a
-standard EGM with one twist: the continuation marginal value must be
-evaluated at next period's (off-grid) illiquid position, so the Bellman step
-interpolates the marginal-value array along the illiquid axis before the
-expectation over e' — all vectorized gathers, scan/jit/AD-compatible.
+Household state: (liquid b, illiquid a, productivity e, access flag). Each
+period a household draws access to its illiquid account with i.i.d.
+probability λ (Calvo-style adjustment opportunity, à la Bayer-Luetticke):
+
+- WITHOUT access: the account accrues up to the grid cap,
+  a' = min((1+ra)·a, a_max), with the excess accrual PAID OUT into the
+  liquid budget: c + b' = (1+r)b + payout + (1−τ)w·e, u'(c) = W_b(b', a').
+  The cap is valued CONSERVATIVELY: at the cap da'/da = 0 and the
+  no-access envelope sets the marginal illiquid value to ZERO (households
+  do not price the cap payout; the access branch, λ-mixed upstream,
+  carries the cap's liquidation value). This truncation scheme keeps BOTH
+  adding-up identities: the payout makes aggregate accounting exact
+  (Walras to machine precision), and the zero envelope keeps the cap
+  unattractive so illiquid demand stays finite. Two rejected variants,
+  both implemented and measured: pricing the cap payout in the envelope
+  ((1+ra)·u'(c) there, or a dividend-paying a' = a design) turns capped
+  illiquid units into perpetuities that dominate bonds at any visible
+  premium — demand saturates the grid and the market-clearing Jacobian
+  loses all gradient; valuing the cap with flat-extrapolated W_a and
+  silently confiscating the excess accrual parks mass at the top and
+  breaks aggregate accounting (measured 2.7% Walras gap). The boundary
+  belief error affects only the capped sliver of mass and vanishes as
+  a_max → ∞ (the grid top sits ≈ 25-40× the equilibrium capital stock).
+- WITH access: the household liquidates into cash-on-hand
+  coh = (1+r)b + (1+ra)a + (1−τ)w·e, picks total savings s and an OPTIMAL
+  PORTFOLIO SPLIT s = b' + a' with interior first-order condition
+  W_b(b', a') = W_a(b', a') (monotone bisection + an implicit
+  differentiable Newton step), then an EGM over s:
+  u'(c) = max(W_b, W_a)(split).
+
+So both policies genuinely depend on the full household state — the
+two-endogenous-dimension configuration the reference hard-errors on
+(`ForwardIteration.jl:267-269`, `TODO.md:68-69`) — and the access friction
+sustains an equilibrium liquidity premium ra > r with finite, smooth
+illiquid demand (the (1+ra)-compounding in V_a is terminated by adjustment
+events valued at u'(c), so the marginal-value recursion is stable; a
+quadratic-adjustment-cost variant was tried and is structurally knife-edged
+in ra − r). The general-equilibrium closure (production, capital = illiquid
+claims) lives in hank_two_asset.yaml.
+
+Envelopes (the carried "Value" packs (V_b, V_a), `n_values = 2`):
+  no access: V_b = (1+r)·u'(c),
+             V_a = (1+ra)·W_a(b', a') below the cap (accrual carries on),
+                   0                  at the cap (da'/da = 0: the margin
+                                      is truncated until access)
+  access:    V_b = (1+r)·u'(c),  V_a = (1+ra)·u'(c)
+
+The access draw is modeled as an i.i.d. exogenous Markov dimension
+(`access_process` below), so the distribution block's generic multi-dim
+lottery + exogenous mixing handle it with no special cases.
 """
 
 from __future__ import annotations
@@ -16,75 +59,264 @@ import jax.numpy as jnp
 
 from hank_tpu.ops.egm import interp_columns
 
+# Portfolio-split FOC solve inside one Bellman step: g(a') =
+# W_b(s-a', a') - W_a(s-a', a') is increasing in a' (both continuation
+# values are concave), so monotone bisection isolates the root robustly
+# across the piecewise-linear kinks of the interpolated surfaces (plain
+# Newton crawls there), and a short Newton polish restores smoothness and
+# the implicit-function derivative for AD. Fixed counts keep the step
+# jit/scan/AD-compatible; 2^-30 · s_max ≈ 1e-7 bracket + quadratic polish
+# reaches f64-level FOC residuals.
+_SPLIT_BISECT_ITERS = 30
+_SPLIT_POLISH_ITERS = 3
 
-def fiscalShock(T: int, *, size: float = 0.02, rho: float = 0.8, **kwargs) -> jnp.ndarray:
-    """Transitory government-spending path G_t = size · ρᵗ (tax-financed)."""
+
+def fiscalShock(T: int, *, size: float = 0.01, rho: float = 0.8, **kwargs) -> jnp.ndarray:
+    """Transitory government-spending path G_t = size · ρᵗ (tax-financed).
+
+    Default size 0.01 ≈ 0.5% of steady-state output. Fixed bond supply makes
+    short-run bond demand inelastic, so balanced-budget G shocks move r a
+    lot on impact (≈ +300bp at the default size) — much larger shocks push
+    a visible mass of households across policy-clip kinks within one period
+    and the kinked residual stalls any Newton method at ~1e-4.
+    """
     t = jnp.arange(1, T + 1, dtype=jnp.float64)
     return size * rho ** t
 
 
+def access_process(n: int = 2, lam: float = 0.1):
+    """I.i.d. Calvo access dimension: state 0 = locked, 1 = can rebalance.
+
+    Returns (grid, Π) with identical rows (the draw is independent of the
+    current state) — the grid-function contract for exogenous dimensions.
+    """
+    import numpy as np
+
+    grid = np.array([0.0, 1.0])
+    Pi = np.array([[1.0 - lam, lam], [1.0 - lam, lam]])
+    return grid, Pi
+
+
+def _interp_val_slope(W: jnp.ndarray, grid: jnp.ndarray, q: jnp.ndarray, axis: int):
+    """Piecewise-linear value and slope of W along `axis` at queries q
+    (q broadcastable to W's shape with `axis` replaced by q's own axis).
+    Flat extrapolation: zero slope outside the grid."""
+    n = grid.shape[0]
+    gshape = [1] * (q.ndim + 1)
+    gshape[-1] = n
+    idx = jnp.clip(jnp.sum(grid.reshape(gshape) < q[..., None], axis=-1),
+                   1, n - 1)
+    lo = grid[idx - 1]
+    hi = grid[idx]
+    Wlo = jnp.take_along_axis(W, idx - 1, axis=axis)
+    Whi = jnp.take_along_axis(W, idx, axis=axis)
+    t = jnp.clip((q - lo) / (hi - lo), 0.0, 1.0)
+    val = Wlo + t * (Whi - Wlo)
+    interior = (q > grid[0]) & (q < grid[-1])
+    slope = jnp.where(interior, (Whi - Wlo) / (hi - lo), 0.0)
+    return val, slope
+
+
+def _bilinear(W: jnp.ndarray, bgrid: jnp.ndarray, agrid: jnp.ndarray,
+              qb: jnp.ndarray, qa: jnp.ndarray):
+    """Bilinear value + axis slopes of W(b, a, e) at (qb, qa) per e.
+
+    qb, qa: (..., n_e) queries. Returns (val, d/dqb, d/dqa), slopes zero
+    outside the grids (flat extrapolation).
+    """
+    n_b, n_a = bgrid.shape[0], agrid.shape[0]
+    ib = jnp.clip(jnp.sum(bgrid.reshape((1,) * qb.ndim + (n_b,)) < qb[..., None],
+                          axis=-1), 1, n_b - 1)
+    ia = jnp.clip(jnp.sum(agrid.reshape((1,) * qa.ndim + (n_a,)) < qa[..., None],
+                          axis=-1), 1, n_a - 1)
+    b_lo, b_hi = bgrid[ib - 1], bgrid[ib]
+    a_lo, a_hi = agrid[ia - 1], agrid[ia]
+    tb = jnp.clip((qb - b_lo) / (b_hi - b_lo), 0.0, 1.0)
+    ta = jnp.clip((qa - a_lo) / (a_hi - a_lo), 0.0, 1.0)
+
+    e_idx = jnp.broadcast_to(
+        jnp.arange(W.shape[-1]).reshape((1,) * (qb.ndim - 1) + (-1,)), ib.shape)
+    W00 = W[ib - 1, ia - 1, e_idx]
+    W01 = W[ib - 1, ia, e_idx]
+    W10 = W[ib, ia - 1, e_idx]
+    W11 = W[ib, ia, e_idx]
+    val = ((1 - tb) * (1 - ta) * W00 + (1 - tb) * ta * W01
+           + tb * (1 - ta) * W10 + tb * ta * W11)
+    in_b = (qb > bgrid[0]) & (qb < bgrid[-1])
+    in_a = (qa > agrid[0]) & (qa < agrid[-1])
+    db = jnp.where(in_b, ((1 - ta) * (W10 - W00) + ta * (W11 - W01))
+                   / (b_hi - b_lo), 0.0)
+    da = jnp.where(in_a, ((1 - tb) * (W01 - W00) + tb * (W11 - W10))
+                   / (a_hi - a_lo), 0.0)
+    return val, db, da
+
+
 def ValueFunction(value_next, xvals, model):
-    """One EGM step over liquid bonds on the (b, a, e) state space.
+    """One Bellman step of the Calvo-access two-asset household.
 
-      1. Illiquid mechanics: x = (1+ra)·a + s·inc(e); a' = (1−λ)x;
-         payout λx joins liquid resources.
-      2. Continuation: interpolate ∂V/∂b'(b', a, e') along the illiquid axis
-         at a'(a, e), then take the e-expectation (Π matmul).
-      3. Euler inversion, endogenous-grid interpolation onto the b grid,
-         borrowing constraint, marginal value — as in the one-asset EGM.
-
-    Returns {"Value": ∂V/∂b, "B": liquid policy, "A": illiquid policy,
-    "C": consumption}.
+    value_next: (2, n_b, n_a, n_e, 2) packed (∂V/∂b, ∂V/∂a) over the state
+    (b, a, e, access). Returns {"Value": same packing, "B", "A", "C"}.
     """
     liquid = model.heterogeneity["liquid"]
     illiq = model.heterogeneity["illiquid"]
     income = model.heterogeneity["income"]
+    access = model.heterogeneity["access"]
     bgrid, agrid = liquid.grid, illiq.grid
     Pi = income.transition
+    lam = access.transition[0, 1]                 # i.i.d. access probability
     n_b, n_a, n_e = liquid.n, illiq.n, income.n
 
     p = model.params
     beta, gamma = p["β"], p["γ"]
-    s, lam = p["s"], p["lam"]
+    inv_g = -1.0 / gamma
     r = xvals["r"]
     ra = xvals["ra"]
     tau = xvals["tau"]
+    w = xvals["w"]
+    y_e = jnp.maximum((1.0 - tau) * w, 1e-9) * income.grid     # (n_e,)
 
-    inc = jnp.maximum(1.0 - tau, 1e-9) * income.grid          # (n_e,)
-    x_a = (1.0 + ra) * agrid[:, None] + s * inc[None, :]      # (n_a, n_e)
-    a_next = (1.0 - lam) * x_a
-    payout = lam * x_a
-    liq_inc = (1.0 - s) * inc[None, :] + payout               # (n_a, n_e)
+    # 1. Post-decision continuations on the (b', a', e) lattice: expectation
+    #    over the i.i.d. access draw, then over e' (MXU einsum).
+    Vb_next, Va_next = value_next[0], value_next[1]            # (b, a, e, adj)
+    Vb_mix = (1.0 - lam) * Vb_next[..., 0] + lam * Vb_next[..., 1]
+    Va_mix = (1.0 - lam) * Va_next[..., 0] + lam * Va_next[..., 1]
+    Wb = jnp.maximum(beta * jnp.einsum("baf,ef->bae", Vb_mix, Pi), 1e-12)
+    Wa = jnp.maximum(beta * jnp.einsum("baf,ef->bae", Va_mix, Pi), 1e-12)
 
-    # 2. Continuation marginal value at (b', a'(a,e), e'), then E over e'.
-    #    value_next: (n_b, n_a, n_e'). The queries a_next[:, e] are shared
-    #    across b and e', so ONE bracket search + TWO gathers along the
-    #    illiquid axis cover the whole interpolation (no per-(e,e') loops —
-    #    that formulation exploded compile time through jvp/vmap/while).
-    idx = jnp.sum(agrid[None, None, :] < a_next[:, :, None], axis=-1)  # (n_a, n_e)
-    idx = jnp.clip(idx, 1, n_a - 1)
-    a_lo = agrid[idx - 1]
-    a_hi = agrid[idx]
-    t_w = jnp.clip((a_next - a_lo) / (a_hi - a_lo), 0.0, 1.0)          # (n_a, n_e)
+    # ── NO-ACCESS problem: capped accrual a' = min((1+ra)a, a_max), excess
+    # accrual paid out as liquid income; standard liquid EGM ───────────────
+    a_raw = (1.0 + ra) * agrid                                  # (n_a,)
+    a_next = jnp.minimum(a_raw, agrid[-1])
+    payout = a_raw - a_next                                     # ≥ 0, top only
+    capped = a_raw >= agrid[-1]                                 # (n_a,)
+    inc_n = payout[None, :, None] + y_e[None, None, :]          # (1, n_a, n_e)
+    Wb_n, _ = _interp_val_slope(Wb, agrid,
+                                jnp.broadcast_to(a_next[None, :, None],
+                                                 (n_b, n_a, n_e)), axis=1)
+    c_end_n = Wb_n ** inv_g
+    implied_b = (c_end_n + bgrid[:, None, None] - inc_n) / (1.0 + r)
+    flat = lambda z: z.reshape(n_b, n_a * n_e)                  # noqa: E731
+    pol_b_n = interp_columns(
+        bgrid, flat(implied_b),
+        jnp.broadcast_to(bgrid[:, None, None], implied_b.shape).reshape(n_b, -1))
+    # Policies are clipped into the grid boxes: the state space is truncated
+    # at the grid tops, the lottery sends off-grid mass to the last node, and
+    # aggregates must be consistent with that truncated distribution.
+    pol_b_n = jnp.clip(pol_b_n.reshape(n_b, n_a, n_e),
+                       p["borrow_cons"], bgrid[-1])
+    pol_a_n = jnp.broadcast_to(a_next[None, :, None], (n_b, n_a, n_e))
+    c_n = jnp.maximum((1.0 + r) * bgrid[:, None, None] + inc_n - pol_b_n,
+                      1e-12)
 
-    v_lo = jnp.take(value_next, idx - 1, axis=1)              # (n_b, n_a, n_e, n_e')
-    v_hi = jnp.take(value_next, idx, axis=1)
-    W = v_lo + t_w[None, :, :, None] * (v_hi - v_lo)          # V(b', a', e') per e
-    EV = jnp.einsum("baef,ef->bae", W, Pi)                    # E_{e'|e}; (n_b, n_a, n_e)
+    # ── ACCESS problem: optimal split + EGM over total savings ────────────
+    # Savings grid spanning total wealth (same double-exp shape as bgrid).
+    s_grid = bgrid * ((bgrid[-1] + agrid[-1]) / bgrid[-1])      # (n_s,)
+    n_s = n_b
+    s2 = jnp.broadcast_to(s_grid[:, None], (n_s, n_e))
 
-    # 3. EGM over the liquid choice.
-    expected = jnp.maximum(EV, 1e-12)
-    cmat = (beta * expected) ** (-1.0 / gamma)                # at (b', a, e)
-    bcol = bgrid[:, None, None]
-    implied_b = (cmat + bcol - liq_inc[None, :, :]) / (1.0 + r)
+    def g_fun(a_s):
+        """FOC gap g = W_b - W_a along the line b' = s - a', and dg/da'.
 
-    flat = lambda z: z.reshape(n_b, n_a * n_e)                # noqa: E731
-    pol_b = interp_columns(bgrid, flat(implied_b),
-                           jnp.broadcast_to(bcol, implied_b.shape).reshape(n_b, -1))
-    pol_b = jnp.maximum(pol_b.reshape(n_b, n_a, n_e), p["borrow_cons"])
+        g is increasing in a': dW_b/da' = -∂_b W_b > 0 (concavity in b) and
+        dW_a/da' = ∂_a W_a < 0, so gp = -wb_db - wa_da > 0.
+        """
+        b_s = s2 - a_s
+        wb, wb_db, _ = _bilinear(Wb, bgrid, agrid, b_s, a_s)
+        wa, _, wa_da = _bilinear(Wa, bgrid, agrid, b_s, a_s)
+        return wb - wa, -wb_db - wa_da
 
-    c = jnp.maximum((1.0 + r) * bcol + liq_inc[None, :, :] - pol_b, 1e-12)
-    value = (1.0 + r) * c ** (-gamma)
+    g_lo, _ = g_fun(jnp.zeros_like(s2))
+    g_hi, _ = g_fun(s2)
 
-    pol_a = jnp.broadcast_to(a_next[None, :, :], (n_b, n_a, n_e))
-    return {"Value": value, "B": pol_b, "A": pol_a, "C": c}
+    def bisect(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        g, _ = g_fun(mid)
+        neg = g < 0
+        return jnp.where(neg, mid, lo), jnp.where(neg, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, _SPLIT_BISECT_ITERS, bisect,
+                               (jnp.zeros_like(s2), s2))
+
+    def polish(_, a_s):
+        g, gp = g_fun(a_s)
+        return jnp.clip(a_s - g / jnp.maximum(gp, 1e-10), 0.0, s2)
+
+    a_iter = jax.lax.fori_loop(0, _SPLIT_POLISH_ITERS, polish, 0.5 * (lo + hi))
+
+    # Differentiate the root IMPLICITLY, not through the iterations: the
+    # bisection selects carry no useful tangent, and the polish's
+    # approximate slope gp (it drops the bilinear cross-terms wb_da, wa_db
+    # that arise along the line b' = s − a') leaves a large derivative
+    # error w.r.t. the continuation surfaces — which compounds through the
+    # backward recursion into an AD Jacobian inconsistent with F (measured
+    # rel. error ≈ 0.9, no Newton descent). One Newton step at the
+    # stop_gradient'ed root, with the EXACT directional slope g_a from a
+    # jvp of g along a (cross-terms included) held constant, reproduces
+    # a* = a − g/g_a with g ≈ 0: the primal is unchanged and AD yields the
+    # implicit-function derivative −g_θ/g_a.
+    a_iter = jax.lax.stop_gradient(a_iter)
+    g_at, g_a = jax.jvp(lambda a: g_fun(a)[0], (a_iter,),
+                        (jnp.ones_like(a_iter),))
+    g_a = jnp.maximum(jax.lax.stop_gradient(g_a), 1e-10)
+    a_star = jnp.clip(a_iter - g_at / g_a, 0.0, s2)
+    # Corners: marginal unit strictly better in one asset over [0, s].
+    a_star = jnp.where(g_lo >= 0, 0.0, jnp.where(g_hi <= 0, s2, a_star))
+    b_star = s2 - a_star
+    wb_s, _, _ = _bilinear(Wb, bgrid, agrid, b_star, a_star)
+    wa_s, _, _ = _bilinear(Wa, bgrid, agrid, b_star, a_star)
+    # Marginal value of savings: at an interior split both agree; at a
+    # corner the marginal unit goes to the better asset.
+    W_s = jnp.maximum(wb_s, wa_s)                               # (n_s, n_e)
+
+    c_end_s = W_s ** inv_g
+    w_knots = c_end_s + s2                                      # (n_s, n_e), increasing
+
+    # On-grid cash-on-hand and savings policy via the endogenous w-grid.
+    w_grid = ((1.0 + r) * bgrid[:, None, None]
+              + (1.0 + ra) * agrid[None, :, None] + y_e[None, None, :])
+    wq = w_grid.reshape(n_b * n_a, n_e)
+    pol_s = jnp.clip(interp_columns(wq, w_knots, s2), 0.0, None)  # (n_b·n_a, n_e)
+    pol_a_a = interp_columns(pol_s, s2, a_star)                 # split at s*
+    pol_a_a = jnp.clip(pol_a_a, 0.0, jnp.minimum(pol_s, agrid[-1]))
+    pol_b_a = jnp.clip(pol_s - pol_a_a, p["borrow_cons"], bgrid[-1])
+    # Consumption from the FINAL clipped policies: when a grid-top clip
+    # binds, the overflow is consumed — the budget identity
+    # c + b' + a' = coh then holds exactly at every state, so aggregate
+    # accounting (Walras) is exact up to the no-access cap payout scheme.
+    c_a = jnp.maximum(wq - pol_b_a - pol_a_a, 1e-12)
+
+    pol_b_a = pol_b_a.reshape(n_b, n_a, n_e)
+    pol_a_a = pol_a_a.reshape(n_b, n_a, n_e)
+    c_a = c_a.reshape(n_b, n_a, n_e)
+
+    # ── Envelopes + assembly over the access axis ──────────────────────────
+    up_n = c_n ** (-gamma)
+    up_a = c_a ** (-gamma)
+    # No access: the marginal illiquid unit accrues to (1+ra) units of a'
+    # below the cap (continuation value W_a at (b', a')); at the cap
+    # da'/da = 0 and the no-access margin is worthless (the access branch,
+    # mixed in with weight λ upstream, carries the cap's remaining value).
+    Wa_n, _ = _interp_val_slope(
+        Wa, agrid, jnp.broadcast_to(a_next[None, :, None], (n_b, n_a, n_e)),
+        axis=1)
+    Wa_n_at_b, _ = _interp_val_slope(Wa_n, bgrid, pol_b_n, axis=0)
+    Va_margin_n = jnp.where(capped[None, :, None], 0.0, Wa_n_at_b)
+
+    Vb_n_new = (1.0 + r) * up_n
+    Va_n_new = (1.0 + ra) * Va_margin_n
+    Vb_a_new = (1.0 + r) * up_a
+    Va_a_new = (1.0 + ra) * up_a
+
+    stack_adj = lambda n, a: jnp.stack([n, a], axis=-1)         # noqa: E731
+    value = jnp.stack([stack_adj(Vb_n_new, Vb_a_new),
+                       stack_adj(Va_n_new, Va_a_new)])
+    return {
+        "Value": value,
+        "B": stack_adj(pol_b_n, pol_b_a),
+        "A": stack_adj(pol_a_n, pol_a_a),
+        "C": stack_adj(c_n, c_a),
+    }
+
+
+ValueFunction.n_values = 2

@@ -1,0 +1,375 @@
+"""Fused primal+tangent household-sweep Pallas kernel (KS-family models).
+
+The Boehl path solver's hot primitive is one JVP sweep of the full
+equilibrium map (`NewtonRaphson.jl:95`): a backward EGM recursion over T-1
+periods followed by a forward distribution push-forward, differentiated in
+one direction. Under XLA each scan step pays a fixed per-step overhead
+(~100 µs at KS size), which floors the sweep at ~60 ms.
+
+This kernel runs BOTH recursions — with dual-number (primal, tangent)
+arithmetic — inside ONE Pallas kernel. Policies, distributions, the grid,
+the Markov matrix and all tangents stay in VMEM for the whole T-loop;
+the only HBM traffic is the (T-1, 2) aggregate-price inputs and the
+(T-1,) aggregate outputs.
+
+Layout: household states are (n_e, n_a) — productivity on sublanes
+(n_e ≤ 8 fits one sublane tile), wealth on lanes (n_a padded to 128).
+All per-step tensors are 2-D; the only 3-D intermediates are the
+compare-reduce bracket searches and the one-hot lottery/gather
+contractions (Mosaic constraints: ≥2-D iota, no >2-D gathers — endpoint
+gathers are one-hot masked reductions sharing a single mask).
+
+Scope: models with ONE endogenous and ONE exogenous household dimension
+whose Bellman step is the standard one-asset EGM (`KrusellSmith.jl:43-83`):
+Krusell-Smith, the 500-pt ZLB variant, and any user model using the same
+`ValueFunction` contract with (r, w) price arguments. The semantics match
+`models/krusell_smith.py::ValueFunction`, `ops/egm.interp_columns`,
+`ops/transition.lottery_apply` + `exog_apply` and
+`blocks/forward.forward_iteration` exactly (same floors, same clip
+conventions, same boundary gradient zeros), so the kernel can be swapped
+under `make_path_solver`'s direction sweeps with no numerical drift beyond
+f32 roundoff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+
+def _bracket(knots_row: jnp.ndarray, queries: jnp.ndarray, n: int) -> jnp.ndarray:
+    """idx[e, q] = #{k : knots[e, k] < queries[e, q]}, clipped to [1, n-1].
+
+    One 3-D compare + reduce (the vectorized searchsorted of
+    `ops/transition.searchsorted_left`).
+    """
+    lt = knots_row[:, None, :] < queries[:, :, None]        # (n_e, n_q, n_k)
+    # No bool->int cast: Mosaic's convert_element_type helper recurses on it
+    # (observed RecursionError on v5e); an int select lowers natively.
+    # dtypes pinned to int32 throughout: with jax_enable_x64 an unpinned
+    # integer sum / python-int scalar materializes as int64, which Mosaic's
+    # convert_element_type helper cannot lower (observed RecursionError).
+    cnt = jnp.sum(jnp.where(lt, jnp.asarray(1, i32), jnp.asarray(0, i32)),
+                  axis=-1, dtype=i32)
+    return jnp.minimum(jnp.maximum(cnt, jnp.asarray(1, i32)),
+                       jnp.asarray(n - 1, i32))
+
+
+import os
+
+# Lane-gather lowering inside the kernel: "dyn" (default) tiles the table
+# into 128-lane vreg chunks and uses tpu.dynamic_gather per chunk (this
+# Mosaic version supports lane gathers only within one vreg — verified on
+# v5e); "mask" is the portable one-hot masked-reduction fallback.
+_GATHER_MODE = os.environ.get("HANK_TPU_GATHER", "dyn")
+
+_VREG_LANES = 128
+
+
+def _take_lanes_vreg(table, idx):
+    """out[r, q] = table[r, idx[r, q]] via lax.gather, single-vreg operands.
+
+    lax.gather is used directly (take_along_axis upcasts indices to the x64
+    default int64, which Mosaic cannot lower); PROMISE_IN_BOUNDS skips the
+    clamp ops (indices are pre-clipped).
+    """
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        table, idx[..., None], dimension_numbers=dnums, slice_sizes=(1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _gather_lanes(idx, *arrays):
+    """[a[e, idx[e,q]] for a in arrays] — lane gather along the last axis.
+
+    "dyn": per-(output-chunk × table-chunk) single-vreg dynamic gathers +
+    range selects — O(n_q/128 · n_k/128) tiny vector ops per array.
+    "mask": one shared one-hot mask + masked reductions — O(n_q·n_k) 3-D
+    work, portable to Mosaic versions without dynamic_gather.
+    """
+    if _GATHER_MODE == "dyn":
+        R, Q = idx.shape
+        C = arrays[0].shape[-1]
+        CH = _VREG_LANES
+        nq = (Q + CH - 1) // CH
+        nc = (C + CH - 1) // CH
+        def pad_to(z, width, fill):
+            w = z.shape[-1]
+            if w == width:
+                return z
+            return jnp.concatenate(
+                [z, jnp.full((R, width - w), fill, z.dtype)], axis=-1)
+
+        outs = []
+        for a in arrays:
+            cols = []
+            for q in range(nq):
+                q0, q1 = q * CH, min((q + 1) * CH, Q)
+                idx_q = pad_to(idx[:, q0:q1], CH, 0)       # (R, CH)
+                acc = jnp.zeros((R, CH), a.dtype)
+                for c in range(nc):
+                    c0, c1 = c * CH, min((c + 1) * CH, C)
+                    tbl = pad_to(a[:, c0:c1], CH, 0)       # (R, CH)
+                    local = jnp.clip(idx_q - jnp.asarray(c0, i32),
+                                     jnp.asarray(0, i32),
+                                     jnp.asarray(c1 - c0 - 1, i32))
+                    got = _take_lanes_vreg(tbl, local)
+                    sel = (idx_q >= c0) & (idx_q < c1)
+                    acc = jnp.where(sel, got, acc)
+                cols.append(acc[:, :q1 - q0])
+            outs.append(jnp.concatenate(cols, axis=-1) if nq > 1 else cols[0])
+        return outs
+    n_k = arrays[0].shape[-1]
+    k_ids = jax.lax.broadcasted_iota(i32, (*idx.shape, n_k), idx.ndim)
+    mask = (k_ids == idx[..., None])
+    return [jnp.sum(jnp.where(mask, a[:, None, :], 0.0), axis=-1)
+            for a in arrays]
+
+
+def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
+                             beta: float, gamma: float, borrow_cons: float):
+    """Kernel body: backward dual EGM scan then forward dual lottery scan."""
+    inv_g = -1.0 / gamma
+
+    def kernel(r_ref, w_ref, dr_ref, dw_ref,          # SMEM (Tm1,) price paths
+               vT_ref, d0_ref,                        # VMEM (n_e, n_a)
+               grid_ref,                               # VMEM (1, n_a)
+               egrid_ref,                              # VMEM (n_e, 1)
+               pi_ref,                                 # VMEM (n_e, n_e)
+               agg_ref, dagg_ref,                      # out VMEM (Tm1, 1)
+               pol_scr, dpol_scr):                     # scratch (Tm1, n_e, n_a)
+        grid_row = grid_ref[0, :]                      # (n_a,)
+        grid2 = jnp.broadcast_to(grid_row[None, :], (n_e, n_a))
+        labor = egrid_ref[:, :]                        # (n_e, 1)
+        Pi = pi_ref[:, :]
+
+        # ── Backward dual EGM recursion: t = Tm1-1 … 0 ────────────────────
+        # Semantics: models/krusell_smith.py::ValueFunction (KrusellSmith.jl:43-83).
+        def bstep(i, carry):
+            V, dV = carry
+            t = jnp.asarray(Tm1 - 1, i32) - i
+            r = r_ref[t]
+            w = w_ref[t]
+            dr = dr_ref[t]
+            dw = dw_ref[t]
+
+            # 1. Expectation over e' (MXU) + infeasibility floor.
+            E = jnp.dot(Pi, V, preferred_element_type=f32)
+            dE = jnp.dot(Pi, dV, preferred_element_type=f32)
+            live = E > 1e-12
+            E = jnp.maximum(E, 1e-12)
+            dE = jnp.where(live, dE, 0.0)
+
+            # 2. Euler inversion c = (βE)^(-1/γ).
+            c = (beta * E) ** inv_g
+            dc = inv_g * c / E * dE
+
+            # 3. Implied current wealth on the endogenous grid.
+            inv1r = 1.0 / (1.0 + r)
+            implied = (c - w * labor + grid2) * inv1r
+            dimplied = (dc - dw * labor) * inv1r - implied * (dr * inv1r)
+
+            # 4. Interpolate the savings policy onto the exogenous grid
+            #    (ops/egm.interp_columns: knots=implied, vals=grid).
+            idx = _bracket(implied, grid2, n_a)
+            one = jnp.asarray(1, i32)
+            lo, dlo, vlo = _gather_lanes(idx - one, implied, dimplied, grid2)
+            hi, dhi, vhi = _gather_lanes(idx, implied, dimplied, grid2)
+            den = hi - lo
+            safe = jnp.where(den > 0, den, 1.0)
+            tw_raw = (grid2 - lo) / safe
+            interior = (tw_raw > 0.0) & (tw_raw < 1.0) & (den > 0)
+            tw = jnp.clip(tw_raw, 0.0, 1.0)
+            dtw = jnp.where(interior, -(dlo + tw * (dhi - dlo)) / safe, 0.0)
+            pol = vlo + tw * (vhi - vlo)
+            dpol = dtw * (vhi - vlo)
+
+            # 5. Borrowing constraint (clip kills the tangent when binding).
+            unbound = pol > borrow_cons
+            pol = jnp.maximum(pol, borrow_cons)
+            dpol = jnp.where(unbound, dpol, 0.0)
+
+            # 6. Consumption + marginal value on the exogenous grid.
+            cg_raw = (1.0 + r) * grid2 + w * labor - pol
+            cg_live = cg_raw > 1e-12
+            cg = jnp.maximum(cg_raw, 1e-12)
+            dcg = jnp.where(cg_live, dr * grid2 + dw * labor - dpol, 0.0)
+            cpow = cg ** (-gamma)
+            Vn = (1.0 + r) * cpow
+            dVn = dr * cpow + (1.0 + r) * (-gamma) * cpow / cg * dcg
+
+            pol_scr[pl.ds(t, 1)] = pol[None]
+            dpol_scr[pl.ds(t, 1)] = dpol[None]
+            return Vn, dVn
+
+        # int32 loop bounds: under jax_enable_x64 a python-int bound makes the
+        # traced index int64, which mismatches Mosaic's i32 loop carry.
+        jax.lax.fori_loop(jnp.asarray(0, i32), jnp.asarray(Tm1, i32), bstep,
+                          (vT_ref[:, :], jnp.zeros((n_e, n_a), f32)))
+
+        # ── Forward dual push-forward: t = 0 … Tm1-1 ──────────────────────
+        # Semantics: ops/transition.lottery_apply + exog_apply,
+        # blocks/forward.forward_iteration (ForwardIteration.jl:297-308).
+        b_ids = jax.lax.broadcasted_iota(i32, (n_e, n_a, n_a), 2)
+
+        def fstep(t, carry):
+            D, dD = carry
+            pol = pol_scr[t]
+            dpol = dpol_scr[t]
+
+            one = jnp.asarray(1, i32)
+            jc = _bracket(grid2, pol, n_a)
+            lo, = _gather_lanes(jc - one, grid2)
+            hi, = _gather_lanes(jc, grid2)
+            wl_raw = (pol - lo) / (hi - lo)
+            interior = (wl_raw > 0.0) & (wl_raw < 1.0)
+            wl = jnp.clip(wl_raw, 0.0, 1.0)
+            dwl = jnp.where(interior, dpol / (hi - lo), 0.0)
+
+            # Lottery masses and their tangents (a → jc-1 and a → jc).
+            mlo = (1.0 - wl) * D
+            mhi = wl * D
+            dmlo = -dwl * D + (1.0 - wl) * dD
+            dmhi = dwl * D + wl * dD
+
+            lo_hot = (b_ids == (jc - one)[:, :, None])
+            hi_hot = (b_ids == jc[:, :, None])
+            D_half = (jnp.sum(jnp.where(lo_hot, mlo[:, :, None], 0.0), axis=1)
+                      + jnp.sum(jnp.where(hi_hot, mhi[:, :, None], 0.0), axis=1))
+            dD_half = (jnp.sum(jnp.where(lo_hot, dmlo[:, :, None], 0.0), axis=1)
+                       + jnp.sum(jnp.where(hi_hot, dmhi[:, :, None], 0.0), axis=1))
+
+            # Exogenous mixing D'[e', b] = Σ_e Pi[e, e'] D_half[e, b] (MXU).
+            PiT = Pi.T
+            D_new = jnp.dot(PiT, D_half, preferred_element_type=f32)
+            dD_new = jnp.dot(PiT, dD_half, preferred_element_type=f32)
+
+            agg_ref[pl.ds(t, 1), :] = jnp.sum(pol * D_new).reshape(1, 1)
+            dagg_ref[pl.ds(t, 1), :] = jnp.sum(
+                dpol * D_new + pol * dD_new).reshape(1, 1)
+            return D_new, dD_new
+
+        jax.lax.fori_loop(jnp.asarray(0, i32), jnp.asarray(Tm1, i32), fstep,
+                          (d0_ref[:, :], jnp.zeros((n_e, n_a), f32)))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("beta", "gamma", "borrow_cons",
+                                             "interpret"))
+def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
+                    V_T, D0, grid, e_grid, Pi,
+                    *, beta: float, gamma: float, borrow_cons: float,
+                    interpret: bool = False):
+    """JVP of the household map (r, w paths) ↦ aggregate-KD path, fused.
+
+    Args (all cast to f32; state arrays in (n_a, n_e) convention — they are
+    transposed to the kernel's (n_e, n_a) layout here):
+      r_path, w_path, dr_path, dw_path: (T-1,) price paths + tangents.
+      V_T: terminal marginal value (n_a, n_e) (zero tangent — the terminal
+        condition is the fixed ending SS, `BackwardIteration.jl:84-85`).
+      D0: initial distribution (n_a, n_e) (zero tangent).
+      grid, e_grid: wealth / productivity grids; Pi: (n_e, n_e) row-stochastic.
+
+    Returns (agg, dagg): the (T-1,) aggregate path of the savings policy
+    variable and its directional derivative.
+    """
+    Tm1 = r_path.shape[0]
+    n_a, n_e = V_T.shape
+    kernel = _make_fused_sweep_kernel(Tm1, n_a, n_e,
+                                      float(beta), float(gamma),
+                                      float(borrow_cons))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    agg, dagg = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Tm1, 1), f32),
+                   jax.ShapeDtypeStruct((Tm1, 1), f32)),
+        in_specs=[smem] * 4 + [vmem] * 5,
+        out_specs=(vmem, vmem),
+        scratch_shapes=[pltpu.VMEM((Tm1, n_e, n_a), f32),
+                        pltpu.VMEM((Tm1, n_e, n_a), f32)],
+        interpret=interpret,
+    )(r_path.astype(f32), w_path.astype(f32),
+      dr_path.astype(f32), dw_path.astype(f32),
+      V_T.T.astype(f32), D0.T.astype(f32),
+      grid.astype(f32)[None, :], e_grid.astype(f32)[:, None],
+      Pi.astype(f32))
+    return agg[:, 0], dagg[:, 0]
+
+
+def supports_fused_sweep(model) -> bool:
+    """True iff `model`'s household block is the standard one-asset EGM the
+    kernel implements (one endogenous + one exogenous dim, KS ValueFunction
+    contract with r/w prices)."""
+    from hank_tpu.models import krusell_smith
+
+    # The parser imports model function files as fresh modules, so compare
+    # code objects (same source location), not function identity.
+    canon = krusell_smith.ValueFunction.__code__
+    code = getattr(model.value_fn, "__code__", None)
+    same_fn = (code is not None
+               and code.co_filename == canon.co_filename
+               and code.co_firstlineno == canon.co_firstlineno)
+    endog = model.vars_of_type("endogenous")
+    return (same_fn
+            and len(model.endog_dims()) == 1 and len(model.exog_dims()) == 1
+            and len(model.vars_of_type("heterogeneous")) == 1
+            and {"r", "w"} <= set(endog)
+            and {"β", "γ", "borrow_cons"} <= set(model.params))
+
+
+def make_fused_jvp_dir(model, ss_initial, ss_ending, exog_paths,
+                       interpret: bool = False):
+    """Build jvp_dir(x, v) -> f32 directional derivative of F at x along v,
+    with the household JVP in the fused kernel and the (cheap) assembly +
+    residual JVP in XLA — exact chain-rule composition of
+    `make_full_residual_fn` (`NewtonRaphson.jl:77-83`).
+    """
+    from hank_tpu.blocks.assemble import assemble_full_xmat, residuals
+    from hank_tpu.ops.precision import cast_model, cast_paths, cast_ss
+
+    model32 = cast_model(model, f32)
+    ss0 = cast_ss(ss_initial, f32)
+    ssT = cast_ss(ss_ending, f32)
+    exog32 = cast_paths(exog_paths, f32)
+
+    cs = model.compspec
+    Tm1 = cs.T - 1
+    endog = model.vars_of_type("endogenous")
+    het = model.vars_of_type("heterogeneous")
+    assert len(het) == 1, "fused sweep supports exactly one policy variable"
+    kd_key = het[0]
+    i_r, i_w = endog.index("r"), endog.index("w")
+    wealth = model32.endog_dims()[0]
+    prod = model32.exog_dims()[0]
+    p = model.params
+
+    def jvp_dir(x, v):
+        x32 = x.astype(f32)
+        v32 = v.astype(f32)
+        xp = x32.reshape(Tm1, cs.n_endog)
+        vp = v32.reshape(Tm1, cs.n_endog)
+        agg, dagg = fused_sweep_jvp(
+            xp[:, i_r], xp[:, i_w], vp[:, i_r], vp[:, i_w],
+            ssT.value, ss0.D, wealth.grid, prod.grid, prod.transition,
+            beta=float(p["β"]), gamma=float(p["γ"]),
+            borrow_cons=float(p["borrow_cons"]), interpret=interpret)
+
+        def tail(xx, kd):
+            x_mat = assemble_full_xmat(xx, {kd_key: kd}, exog32, model32,
+                                       ss0.vars, ssT.vars)
+            return residuals(x_mat, model32)
+
+        return jax.jvp(tail, (x32, agg), (v32, dagg))[1]
+
+    return jvp_dir

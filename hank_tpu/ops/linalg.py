@@ -134,8 +134,23 @@ def make_invariant_solver(apply_fn, *, eps: float = 1e-13,
             diff = jnp.max(jnp.abs(x_new - x))
             lam = jnp.clip(diff / jnp.maximum(diff_prev, 1e-300), 0.0, 0.995)
             do_ex = (it % 20 == 19) & (it > 40)
-            x_next = jnp.where(do_ex, x_new + (x_new - x) * (lam / (1 - lam)),
-                               x_new)
+
+            # SAFEGUARDED Aitken: a max-norm ratio cannot distinguish an
+            # oscillating (negative/complex-eigenvalue) mode from a geometric
+            # tail, and the λ/(1−λ) factor then amplifies it — compounding
+            # ×100+ overshoots overflow through the linear map into NaN
+            # (observed on the two-asset access chain). So an extrapolation
+            # is accepted only if one verification apply shows its one-step
+            # residual actually beats the plain iterate's. Costs one extra
+            # apply on extrapolation iterations only (~5%).
+            def try_extrapolate(_):
+                x_ex = x_new + (x_new - x) * (lam / (1 - lam))
+                d_ex = jnp.max(jnp.abs(step(x_ex) - x_ex))
+                ok = jnp.isfinite(d_ex) & (d_ex < diff)
+                return jnp.where(ok, x_ex, x_new)
+
+            x_next = jax.lax.cond(do_ex, try_extrapolate,
+                                  lambda _: x_new, None)
             return x_next, diff, diff, it + 1
 
         x, _, _, _ = jax.lax.while_loop(cond, body, (x0, jnp.inf, jnp.inf, 0))
@@ -151,16 +166,129 @@ def make_invariant_solver(apply_fn, *, eps: float = 1e-13,
         (params, D0), (dparams, _) = primals, tangents
         D_star = solve(params, D0)
 
-        def tan_step_proj(dD):
-            dD_new = jax.jvp(apply_fn, (params, D_star), (dparams, dD))[1]
-            # project onto the sum-zero subspace (differentiated normalization)
-            return dD_new - jnp.sum(dD_new) / dD_new.size
+        # The IFT system is LINEAR: (I − ∂_D apply) dD = ∂_p apply · dp on
+        # the sum-zero subspace (where I − P is nonsingular for an ergodic
+        # column-stochastic chain). Power iteration with Aitken acceleration
+        # is fragile here — with the chain's second eigenvalue near one, a
+        # max-norm ratio estimate cannot distinguish oscillating/complex
+        # modes from a geometric tail, and a single overshoot overflows
+        # through the linear map into NaN (observed on the two-asset access
+        # chain). Matrix-free GMRES on the projected operator is
+        # unconditionally stable and far fewer applies at λ₂ ≈ 1.
+        shape = D_star.shape
+        b = jax.jvp(lambda p: apply_fn(p, D_star), (params,), (dparams,))[1]
+        b = (b - jnp.sum(b) / b.size).ravel()
 
-        dD_star = _accel_fixed_point(tan_step_proj, jnp.zeros_like(D_star))
+        # Deflated operator A'v = (I − P)v + mean(v)·1: nonsingular on the
+        # FULL space (A'v = 0 forces Σv = 0, then v ∈ ker(I−P) = span(D*)
+        # with Σv = 0 ⇒ v = 0), with the same sum-zero solution for the
+        # sum-zero b. Without deflation the exact kernel direction D* is
+        # invisible to the GMRES residual, and near-breakdown Arnoldi steps
+        # (tiny hn on a small-support chain) amplify roundoff into exactly
+        # that direction — a mean-subtraction cannot remove D*'s shape
+        # (observed: returned tangent with Σ dD ≈ 1.6 on a 24-state-support
+        # toy chain, wrecking the SS Newton direction).
+        def matvec(v):
+            vD = v.reshape(shape)
+            Pv = jax.jvp(lambda d: apply_fn(params, d), (D_star,), (vD,))[1]
+            out = vD - Pv + jnp.sum(vD) / vD.size
+            return out.ravel()
+
+        dD, _ = gmres_matfree(matvec, b, jnp.zeros_like(b),
+                              restart=40, maxiter=8, tol=1e-12,
+                              atol=eps * jnp.linalg.norm(b))
+        dD_star = dD.reshape(shape)
         dD_star = dD_star - jnp.sum(dD_star) / dD_star.size
         return D_star, dD_star
 
     return solve
+
+
+def gmres_matfree(matvec: Callable[[jnp.ndarray], jnp.ndarray],
+                  b: jnp.ndarray,
+                  x0: jnp.ndarray,
+                  M: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+                  *,
+                  restart: int = 20,
+                  maxiter: int = 2,
+                  tol: float = 1e-12,
+                  atol: float = 0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Left-preconditioned restarted GMRES with an OPAQUE operator.
+
+    `jax.scipy.sparse.linalg.gmres` wraps the solve in
+    `lax.custom_linear_solve`, which must *transpose* the matvec — impossible
+    when the operator is a Pallas kernel (the fused sweep JVP). This
+    implementation treats `matvec` as a black box: CGS2 Arnoldi (two-pass
+    classical Gram-Schmidt — MGS-grade stability, fully vectorized), the
+    small (restart+1, restart) Hessenberg least-squares solved via refined
+    normal equations (TPU has no f64 SVD/QR; H is near-identity under the J̄
+    preconditioner so the squared conditioning is harmless).
+
+    Semantics match the reference's `gmres!(R, J̄, ·)` role
+    (`NewtonRaphson.jl:97-98`): solve M(A(d)) = M(b), stopping when the
+    preconditioned residual norm is ≤ max(tol·‖M b‖, atol).
+
+    Returns (x, preconditioned_residual_norm_estimate).
+    """
+    if M is None:
+        M = lambda v: v  # noqa: E731
+    m = restart
+    dtype = b.dtype
+    n = b.shape[0]
+
+    def Ahat(v):
+        return M(matvec(v))
+
+    bhat = M(b)
+    tol_abs = jnp.maximum(tol * jnp.linalg.norm(bhat), atol)
+    eye_ridge = 1e-28 * jnp.eye(m, dtype=dtype)
+
+    def cycle(carry):
+        x, _, it = carry
+        r = bhat - Ahat(x)
+        beta = jnp.linalg.norm(r)
+        V0 = jnp.zeros((m + 1, n), dtype).at[0].set(
+            r / jnp.maximum(beta, 1e-300))
+        H0 = jnp.zeros((m + 1, m), dtype)
+
+        def arnoldi(j, VH):
+            V, H = VH
+            w = Ahat(V[j])
+            # Rows > j of V are still zero, so V @ w projects onto the built
+            # basis only; second pass makes classical GS as stable as MGS.
+            h1 = V @ w
+            w = w - V.T @ h1
+            h2 = V @ w
+            w = w - V.T @ h2
+            h = h1 + h2
+            hn = jnp.linalg.norm(w)
+            # Happy breakdown (the Krylov space is exhausted — always hit
+            # when restart exceeds the operator's dimension): dividing the
+            # ~0 remainder by max(hn, 1e-300) fills the basis with garbage
+            # that poisons H. Emit a ZERO basis vector instead: A·0 = 0 for
+            # a linear operator, so every later column stays zero and the
+            # ridged normal equations ignore them.
+            ok = hn > 1e-12 * jnp.maximum(jnp.linalg.norm(h), 1e-300)
+            V = V.at[j + 1].set(jnp.where(ok, w / jnp.maximum(hn, 1e-300),
+                                          jnp.zeros_like(w)))
+            H = H.at[:, j].set(h).at[j + 1, j].set(jnp.where(ok, hn, 0.0))
+            return V, H
+
+        V, H = jax.lax.fori_loop(0, m, arnoldi, (V0, H0))
+        # min_y ‖β e1 − H y‖ via (ridged) normal equations + refined solve.
+        rhs = beta * H[0, :]                       # Hᵀ(β e1)
+        y = dense_solve(H.T @ H + eye_ridge, rhs)
+        resid = jnp.linalg.norm(
+            jnp.zeros(m + 1, dtype).at[0].set(beta) - H @ y)
+        return x + V[:m].T @ y, resid, it + 1
+
+    def cond(carry):
+        _, rnorm, it = carry
+        return (rnorm > tol_abs) & (it < maxiter)
+
+    init = (x0, jnp.asarray(jnp.inf, dtype), jnp.asarray(0))
+    x, rnorm, _ = jax.lax.while_loop(cond, cycle, init)
+    return x, rnorm
 
 
 def rayleigh_quotient(My: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

@@ -30,7 +30,8 @@ from hank_tpu.blocks.assemble import assemble_full_xmat, residuals as eval_resid
 from hank_tpu.blocks.backward import backward_iteration
 from hank_tpu.blocks.forward import forward_iteration
 from hank_tpu.config import config
-from hank_tpu.ops.linalg import dense_solve, make_reusable_solver, rayleigh_quotient
+from hank_tpu.ops.linalg import (dense_solve, gmres_matfree,
+                                 make_reusable_solver, rayleigh_quotient)
 
 
 def make_full_residual_fn(model, ss_initial, ss_ending,
@@ -102,6 +103,9 @@ def newton_raphson_hank(
         sweeps that build search directions — inexact Newton: residuals and
         the solution stay in x0's dtype (f64), so the final accuracy is
         unchanged while the hot sweeps run at f32 speed on TPU.
+      direction_mode: "auto" (fused Pallas sweep kernel on TPU for supported
+        models), "pallas" (force the kernel; interpreted off-TPU), or "xla"
+        (plain jvp through the scans).
 
     Returns (x_solution, info) with info = {"iterations", "residual_norm",
     "y_norm"} as device scalars.
@@ -124,6 +128,7 @@ def make_path_solver(
     gmres_restart: int = 20,
     gmres_maxiter: int = 2,
     direction_dtype=None,
+    direction_mode: str = "auto",
     host_outer: bool = True,
     verbose: bool = False,
     records: list | None = None,
@@ -147,18 +152,37 @@ def make_path_solver(
     x_dtype = config.dtype
 
     if direction_dtype is not None and direction_dtype != x_dtype:
-        from hank_tpu.ops.precision import cast_model, cast_paths, cast_ss
+        from hank_tpu.ops.fused_sweep import (make_fused_jvp_dir,
+                                              supports_fused_sweep)
 
-        F_dir = make_full_residual_fn(
-            cast_model(model, direction_dtype),
-            cast_ss(ss_initial, direction_dtype),
-            cast_ss(ss_ending, direction_dtype),
-            cast_paths(exog_paths, direction_dtype))
+        # direction_mode: "auto" uses the fused Pallas sweep kernel when the
+        # model's household block matches it and we're on TPU (interpret mode
+        # elsewhere is correct but slow); "pallas" forces it (interpreted off
+        # TPU — for tests); "xla" forces the plain jvp-through-scans path.
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        use_fused = (direction_mode == "pallas"
+                     or (direction_mode == "auto" and on_tpu
+                         and direction_dtype == jnp.float32
+                         and supports_fused_sweep(model)))
+        if use_fused:
+            fused = make_fused_jvp_dir(model, ss_initial, ss_ending,
+                                       exog_paths, interpret=not on_tpu)
 
-        def jvp_dir(x, v):
-            out = jax.jvp(F_dir, (x.astype(direction_dtype),),
-                          (v.astype(direction_dtype),))[1]
-            return out.astype(x.dtype)
+            def jvp_dir(x, v):
+                return fused(x, v).astype(x.dtype)
+        else:
+            from hank_tpu.ops.precision import cast_model, cast_paths, cast_ss
+
+            F_dir = make_full_residual_fn(
+                cast_model(model, direction_dtype),
+                cast_ss(ss_initial, direction_dtype),
+                cast_ss(ss_ending, direction_dtype),
+                cast_paths(exog_paths, direction_dtype))
+
+            def jvp_dir(x, v):
+                out = jax.jvp(F_dir, (x.astype(direction_dtype),),
+                              (v.astype(direction_dtype),))[1]
+                return out.astype(x.dtype)
     else:
         def jvp_dir(x, v):
             return jax.jvp(F, (x,), (v,))[1]
@@ -253,25 +277,57 @@ def make_path_solver(
         gmres_tol = 3e-7 if direction_dtype == jnp.float32 else 1e-12
 
         @jax.jit
-        def nk_step(x):
-            Fx = F(x)
+        def nk_step(x, Fx, fnorm, fnorm_prev):
+            # Eisenstat-Walker (choice 2) forcing: solve the Newton system
+            # only as tightly as the outer convergence rate warrants —
+            # η_k = 0.9·(‖F_k‖/‖F_{k-1}‖)², floored at the direction-dtype
+            # noise and at what the final target still requires. Early
+            # outers (far from the path) then stop after a handful of JVP
+            # sweeps instead of over-solving a linear model that Newton
+            # discards anyway.
+            eta = jnp.clip(0.9 * (fnorm / fnorm_prev) ** 2, gmres_tol, 0.5)
+            eta = jnp.maximum(eta, 0.1 * eps / jnp.maximum(fnorm, 1e-300))
             A = lambda v: jvp_dir(x, v)  # noqa: E731
-            d, _ = jax.scipy.sparse.linalg.gmres(
+            d, _ = gmres_matfree(
                 A, Fx, x0=solve_jbar(Fx), M=solve_jbar,
-                tol=gmres_tol, atol=0.0,
-                restart=gmres_restart, maxiter=gmres_maxiter,
-                solve_method="batched")
-            x_new = x - d
-            return x_new, jnp.linalg.norm(F(x_new))
+                tol=eta, atol=0.0,
+                restart=gmres_restart, maxiter=gmres_maxiter)
+
+            # Backtracking: a full step across a policy-clip kink can land
+            # on the far side with a higher residual and two-cycle forever
+            # (observed on the two-asset model near the liquid grid-top
+            # clip). Halve the step until the residual decreases (≤ 6
+            # halvings); the while_loop costs ZERO extra residual
+            # evaluations when the full step already descends — the common
+            # case on smooth stretches.
+            x_full = x - d
+            Fx_full = F(x_full)
+            fn_full = jnp.linalg.norm(Fx_full)
+
+            def bt_cond(c):
+                _, _, fn_t, _, tries = c
+                return (~(jnp.isfinite(fn_t) & (fn_t < fnorm))) & (tries < 6)
+
+            def bt_body(c):
+                _, _, _, alpha, tries = c
+                alpha = 0.5 * alpha
+                x_t = x - alpha * d
+                Fx_t = F(x_t)
+                return x_t, Fx_t, jnp.linalg.norm(Fx_t), alpha, tries + 1
+
+            x_new, Fx_new, fn_new, _, _ = jax.lax.while_loop(
+                bt_cond, bt_body, (x_full, Fx_full, fn_full, 1.0, 0))
+            return x_new, Fx_new, fn_new
 
         if host_outer:
             def run(x0):
                 x = x0
-                fnorm = float("inf")
+                Fx = F(x0)
+                fnorm = fprev = float(jnp.linalg.norm(Fx))
                 iters = 0
                 while fnorm > eps and iters < max_outer:
-                    x, fn = nk_step(x)
-                    fnorm = float(fn)
+                    x, Fx, fn = nk_step(x, Fx, fnorm, fprev)
+                    fprev, fnorm = fnorm, float(fn)
                     _check_finite(fnorm, "newton_krylov", iters + 1, x)
                     iters += 1
                     if verbose:
@@ -287,16 +343,18 @@ def make_path_solver(
         @jax.jit
         def run(x0):
             def cond(carry):
-                x, fnorm, it = carry
+                x, Fx, fnorm, fprev, it = carry
                 return (fnorm > eps) & (it < max_outer)
 
             def body(carry):
-                x, _, it = carry
-                x_new, fnorm = nk_step(x)
-                return x_new, fnorm, it + 1
+                x, Fx, fnorm, fprev, it = carry
+                x_new, Fx_new, fn = nk_step(x, Fx, fnorm, fprev)
+                return x_new, Fx_new, fn, fnorm, it + 1
 
-            x, fnorm, iters = jax.lax.while_loop(
-                cond, body, (x0, jnp.inf, 0))
+            Fx0 = F(x0)
+            fnorm0 = jnp.linalg.norm(Fx0)
+            x, _, fnorm, _, iters = jax.lax.while_loop(
+                cond, body, (x0, Fx0, fnorm0, fnorm0, 0))
             return x, {"iterations": iters, "residual_norm": fnorm,
                        "y_norm": fnorm}
 

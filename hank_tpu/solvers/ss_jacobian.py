@@ -61,7 +61,19 @@ def _unit_tangents(n: int, rows: jnp.ndarray, dtype) -> jnp.ndarray:
     return jnp.zeros((len(rows), n), dtype=dtype).at[jnp.arange(len(rows)), rows].set(1.0)
 
 
-def direct_jacobian_blocks(ss, model) -> tuple[jnp.ndarray, int]:
+def _shard_seed_sweep(fn, mesh):
+    """Shard a vmapped seed sweep's leading (seed) axis over the mesh's "dp"
+    axis — the solver's true sequence parallelism (SURVEY §2.10 SP row): the
+    J̄ seed sweeps are independent (`SteadyStateJacobian.jl:241-243`), so each
+    device runs its shard of the JVP/VJP columns with no communication until
+    the final gather."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("dp"))
+    return jax.jit(fn, in_shardings=shard, out_shardings=shard)
+
+
+def direct_jacobian_blocks(ss, model, mesh=None) -> tuple[jnp.ndarray, int]:
     """Direct blocks B_δ = ∂z_{p+δ}/∂x_p with policies frozen at SS.
 
     Perturbs one interior period p = T-1-k (k = max(max_lag, max_lead)) with
@@ -85,7 +97,10 @@ def direct_jacobian_blocks(ss, model) -> tuple[jnp.ndarray, int]:
 
     rows = p0 * nE + jnp.arange(nE)
     seeds = _unit_tangents(Tm1 * nE, rows, x_ss.dtype)
-    raw = jax.vmap(lambda t: jax.jvp(g, (x_ss,), (t,))[1])(seeds)  # (nE, Tm1*nE)
+    sweep = jax.vmap(lambda t: jax.jvp(g, (x_ss,), (t,))[1])
+    if mesh is not None:
+        sweep = _shard_seed_sweep(sweep, mesh)
+    raw = sweep(seeds)                                             # (nE, Tm1*nE)
 
     blocks = jnp.stack([
         raw[:, (p0 + d) * nE:(p0 + d + 1) * nE].T  # [res_eq, x_var]
@@ -94,7 +109,7 @@ def direct_jacobian_blocks(ss, model) -> tuple[jnp.ndarray, int]:
     return blocks, k
 
 
-def intermediate_jacobians(ss, model) -> tuple[dict, dict]:
+def intermediate_jacobians(ss, model, mesh=None) -> tuple[dict, dict]:
     """JBI and JFI one-block-columns (`SteadyStateJacobian.jl:187-256`).
 
     JBI[v]: (n_endog, T-1, *state_shape) — ∂policy_v[s]/∂x_{T-1, i} via
@@ -113,7 +128,10 @@ def intermediate_jacobians(ss, model) -> tuple[dict, dict]:
 
     last_rows = (Tm1 - 1) * nE + jnp.arange(nE)
     seeds_x = _unit_tangents(Tm1 * nE, last_rows, x_ss.dtype)
-    JBI = jax.vmap(lambda t: jax.jvp(back, (x_ss,), (t,))[1])(seeds_x)
+    jbi_sweep = jax.vmap(lambda t: jax.jvp(back, (x_ss,), (t,))[1])
+    if mesh is not None:
+        jbi_sweep = _shard_seed_sweep(jbi_sweep, mesh)
+    JBI = jbi_sweep(seeds_x)
 
     pol_ss = {v: jnp.broadcast_to(ss.policies[v],
                                   (Tm1, *ss.policies[v].shape)).astype(x_ss.dtype)
@@ -126,7 +144,10 @@ def intermediate_jacobians(ss, model) -> tuple[dict, dict]:
 
     _, pullback = jax.vjp(fwd, pol_ss)
     seeds_z = _unit_tangents(Tm1 * nE, last_rows, x_ss.dtype)
-    JFI = jax.vmap(lambda s: pullback(s)[0])(seeds_z)
+    jfi_sweep = jax.vmap(lambda s: pullback(s)[0])
+    if mesh is not None:
+        jfi_sweep = _shard_seed_sweep(jfi_sweep, mesh)
+    JFI = jfi_sweep(seeds_z)
 
     return JBI, JFI
 
@@ -193,12 +214,17 @@ def assemble_jacobian(blocks: jnp.ndarray, k: int, JBI: Mapping, JFI: Mapping,
     return J.transpose(0, 2, 1, 3).reshape(Tm1 * nE, Tm1 * nE)
 
 
-def get_steady_state_jacobian(ss, model, boundary_correction: bool = False) -> jnp.ndarray:
+def get_steady_state_jacobian(ss, model, boundary_correction: bool = False,
+                              mesh=None) -> jnp.ndarray:
     """Top-level entry (`SteadyStateJacobian.jl:41-65`).
 
     `ss` should be the ending steady state (the linearisation point for the
     transition path). Asserts the system is square (n_eq == n_endog,
     `SteadyStateJacobian.jl:43-46`).
+
+    With `mesh`, the independent JDI/JBI JVP seed sweeps and the JFI pullback
+    seeds are sharded across the mesh's "dp" axis (the mesh size must divide
+    n_endog); results are identical to the single-device build.
     """
     if len(model.equations) != model.compspec.n_endog:
         raise ValueError(
@@ -206,8 +232,8 @@ def get_steady_state_jacobian(ss, model, boundary_correction: bool = False) -> j
             f"{model.compspec.n_endog} endogenous variables. "
             "Newton-Raphson requires n_eq == n_endog.")
 
-    blocks, k = direct_jacobian_blocks(ss, model)
-    JBI, JFI = intermediate_jacobians(ss, model)
+    blocks, k = direct_jacobian_blocks(ss, model, mesh=mesh)
+    JBI, JFI = intermediate_jacobians(ss, model, mesh=mesh)
     return assemble_jacobian(blocks, k, JBI, JFI, model,
                              boundary_correction=boundary_correction)
 

@@ -66,6 +66,11 @@ def make_vfi_solver(model) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """
     names = model.var_names()
     state_shape = model.state_shape()
+    # Models carrying several marginal values (e.g. the two-asset household's
+    # (V_b, V_a) pair) declare `ValueFunction.n_values`; the value array then
+    # gets a leading axis of that size.
+    n_values = getattr(model.value_fn, "n_values", 1)
+    value_shape = state_shape if n_values == 1 else (n_values, *state_shape)
     eps = min(model.compspec.eps, config.vfi_eps)
     max_iter = config.vfi_max_iter
 
@@ -92,7 +97,21 @@ def make_vfi_solver(model) -> Callable[[jnp.ndarray], jnp.ndarray]:
             diff = jnp.max(jnp.abs(v_new - v))
             lam = jnp.clip(diff / jnp.maximum(diff_prev, 1e-300), 0.0, 0.995)
             do_ex = (it % 20 == 19) & (it > 40)
-            v_next = jnp.where(do_ex, v_new + (v_new - v) * (lam / (1 - lam)), v_new)
+
+            # SAFEGUARDED Aitken (same scheme as ops/linalg._accel_fixed_point):
+            # a max-norm ratio cannot tell an oscillating mode from a
+            # geometric tail, and the λ/(1−λ) extrapolation then overshoots —
+            # compounding overshoots run the value to inf/NaN. Accept the
+            # extrapolation only if one verification apply shows its
+            # one-step residual beats the plain iterate's.
+            def try_extrapolate(_):
+                v_ex = v_new + (v_new - v) * (lam / (1 - lam))
+                d_ex = jnp.max(jnp.abs(step(v_ex) - v_ex))
+                ok = jnp.isfinite(d_ex) & (d_ex < diff)
+                return jnp.where(ok, v_ex, v_new)
+
+            v_next = jax.lax.cond(do_ex, try_extrapolate,
+                                  lambda _: v_new, None)
             return v_next, diff, diff, it + 1
 
         v_star, _, _, _ = jax.lax.while_loop(
@@ -103,7 +122,7 @@ def make_vfi_solver(model) -> Callable[[jnp.ndarray], jnp.ndarray]:
     def vfi(xvec):
         # Constant initial marginal value: makes the first EGM implied-wealth
         # grid strictly increasing (`SteadyState.jl:129-132`).
-        v0 = jnp.ones(state_shape, dtype=xvec.dtype)
+        v0 = jnp.ones(value_shape, dtype=xvec.dtype)
         return _accelerated_fixed_point(lambda v: bellman(v, xvec), v0)
 
     @vfi.defjvp
@@ -162,7 +181,7 @@ def make_ss_pipeline(model, ss_spec):
                               transitions, len(endog_dims))
 
         invariant_solve = make_invariant_solver(
-            _apply, eps=min(model.compspec.eps, config.vfi_eps))
+            _apply, eps=min(model.compspec.eps, config.invariant_eps))
 
     vfi = make_vfi_solver(model)
 

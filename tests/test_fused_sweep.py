@@ -1,0 +1,103 @@
+"""Fused primal+tangent sweep kernel vs the XLA jvp-through-scans path.
+
+The kernel must reproduce `jax.jvp` of the f32 equilibrium map to f32
+roundoff — same floors, clip conventions, and boundary gradient zeros as
+`models/krusell_smith.py::ValueFunction` + `ops/transition.lottery_apply`.
+Runs in Pallas interpret mode on CPU (the suite pins JAX_PLATFORMS=cpu);
+the non-interpret TPU compile + perf check is scripts/tpu_fused_check.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hank_tpu.ops.fused_sweep import (fused_sweep_jvp, make_fused_jvp_dir,
+                                      supports_fused_sweep)
+from hank_tpu.ops.precision import cast_model, cast_paths, cast_ss
+from hank_tpu.solvers.newton import make_full_residual_fn
+
+f32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def setup(ks_small, ks_small_ss):
+    model, ss = ks_small, ks_small_ss
+    Tm1 = model.compspec.T - 1
+    exog = {"Z": 1.0 + 0.1 * 0.8 ** jnp.arange(1, model.compspec.T)}
+    endog = model.vars_of_type("endogenous")
+    x_ss = jnp.tile(jnp.asarray([ss.vars[k] for k in endog]), Tm1)
+    return model, ss, exog, x_ss
+
+
+def test_supports_predicate(ks_small):
+    assert supports_fused_sweep(ks_small)
+    from hank_tpu.models import load_model
+    assert supports_fused_sweep(load_model("ks_large_grid", T=10))
+    assert not supports_fused_sweep(load_model("hank_one_asset", T=10))
+    assert not supports_fused_sweep(load_model("hank_two_asset", T=10))
+
+
+def test_fused_jvp_matches_xla(setup):
+    model, ss, exog, x_ss = setup
+    F32 = make_full_residual_fn(cast_model(model, f32), cast_ss(ss, f32),
+                                cast_ss(ss, f32), cast_paths(exog, f32))
+    jvp_dir = make_fused_jvp_dir(model, ss, ss, exog, interpret=True)
+
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        x = x_ss + 0.01 * jnp.asarray(rng.normal(size=x_ss.shape))
+        v = jnp.asarray(rng.normal(size=x_ss.shape))
+        ref = jax.jvp(F32, (x.astype(f32),), (v.astype(f32),))[1]
+        out = jvp_dir(x, v)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-5 * max(scale, 1.0)
+
+
+def test_fused_primal_matches_forward_pipeline(setup):
+    """The kernel's primal aggregate path == backward+forward XLA blocks."""
+    from hank_tpu.blocks.backward import backward_iteration
+    from hank_tpu.blocks.forward import forward_iteration
+
+    model, ss, exog, x_ss = setup
+    model32 = cast_model(model, f32)
+    ss32 = cast_ss(ss, f32)
+    exog32 = cast_paths(exog, f32)
+    Tm1 = model.compspec.T - 1
+    nE = model.compspec.n_endog
+    endog = model.vars_of_type("endogenous")
+    i_r, i_w = endog.index("r"), endog.index("w")
+
+    rng = np.random.default_rng(1)
+    x = (x_ss + 0.02 * jnp.asarray(rng.normal(size=x_ss.shape))).astype(f32)
+    pol = backward_iteration(x, exog32, model32, ss32.vars, ss32.value)
+    ref = forward_iteration(pol, model32, ss32.D)["KD"]
+
+    xp = x.reshape(Tm1, nE)
+    p = model.params
+    wealth = model32.endog_dims()[0]
+    prod = model32.exog_dims()[0]
+    agg, dagg = fused_sweep_jvp(
+        xp[:, i_r], xp[:, i_w], jnp.zeros(Tm1, f32), jnp.zeros(Tm1, f32),
+        ss32.value, ss32.D, wealth.grid, prod.grid, prod.transition,
+        beta=float(p["β"]), gamma=float(p["γ"]),
+        borrow_cons=float(p["borrow_cons"]), interpret=True)
+    assert float(jnp.max(jnp.abs(agg - ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(dagg))) == 0.0   # zero tangent in → zero out
+
+
+def test_path_solver_direction_mode_pallas(setup):
+    """Full path solve with fused-kernel directions converges to the same
+    solution as the XLA direction path (f64 residuals govern accuracy)."""
+    from hank_tpu.solvers.newton import make_path_solver
+    from hank_tpu.solvers.ss_jacobian import get_steady_state_jacobian
+
+    model, ss, exog, x_ss = setup
+    J = get_steady_state_jacobian(ss, model)
+    kw = dict(method="newton_krylov", direction_dtype=f32, eps=1e-8)
+    x_pal, info_pal = make_path_solver(J, exog, model, ss, ss,
+                                       direction_mode="pallas", **kw)(x_ss)
+    x_xla, info_xla = make_path_solver(J, exog, model, ss, ss,
+                                       direction_mode="xla", **kw)(x_ss)
+    assert info_pal["residual_norm"] < 1e-8
+    assert float(jnp.max(jnp.abs(x_pal - x_xla))) < 1e-7

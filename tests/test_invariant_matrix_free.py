@@ -18,8 +18,15 @@ def _setup(n_a=25, n_e=4, seed=0):
     grid = jnp.asarray(np.sort(rng.uniform(0, 10, n_a)))
     Pi, _, _ = rouwenhorst(n_e, 0.9, 0.3)
     Pi = jnp.asarray(Pi)
-    # Mean-reverting policy keeps the chain mixing.
+    # Mean-reverting policy with WELL-SEPARATED per-e targets: if all
+    # e-columns revert to (nearly) the same point, the Young lottery forms
+    # a closed two-knot capture class per target and the chain is NOT
+    # irreducible — the invariant distribution (hence its derivative) is
+    # then non-unique and matrix-free vs dense conventions legitimately
+    # disagree. Spreading the targets by several grid cells plus the
+    # e-mixing makes the chain ergodic.
     policy = 0.5 * jnp.broadcast_to(grid[:, None], (n_a, n_e)) + 2.0 \
+        + jnp.linspace(0.0, 3.0, n_e)[None, :] \
         + 0.3 * jnp.asarray(rng.uniform(size=(n_a, n_e)))
     return grid, Pi, policy
 
