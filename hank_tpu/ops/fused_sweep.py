@@ -64,11 +64,15 @@ def _bracket(knots_row: jnp.ndarray, queries: jnp.ndarray, n: int) -> jnp.ndarra
 
 import os
 
-# Lane-gather lowering inside the kernel: "dyn" (default) tiles the table
-# into 128-lane vreg chunks and uses tpu.dynamic_gather per chunk (this
-# Mosaic version supports lane gathers only within one vreg — verified on
-# v5e); "mask" is the portable one-hot masked-reduction fallback.
-_GATHER_MODE = os.environ.get("HANK_TPU_GATHER", "dyn")
+# Lane-gather lowering inside the kernel: "mask" (default) is the one-hot
+# masked-reduction form — compile-verified on v5e (31 ms vs 59 ms XLA at KS
+# 200x7 T=300). "dyn" tiles the table into 128-lane vreg chunks and uses
+# tpu.dynamic_gather per chunk (in-vreg gathers verified on v5e via
+# scripts/tpu_gather_probe.py), but the chunked composition still hits a
+# Mosaic lowering failure on the non-multiple-of-128 tail chunk
+# (vector<1x72xf32> -> vector<7x72xf32> broadcast) — experimental until the
+# operands are padded to full vregs.
+_GATHER_MODE = os.environ.get("HANK_TPU_GATHER", "mask")
 
 _VREG_LANES = 128
 
