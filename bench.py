@@ -28,14 +28,18 @@ import time
 import numpy as np
 
 
-# Measured on this container's CPU (JAX CPU backend, KS 200x7, T=300;
-# round-1 measurement recorded in BASELINE.md). The Julia reference publishes
-# no benchmark numbers (SURVEY §6), so the CPU comparator is this same
-# pipeline on the container CPU.
+# Measured on this container's CPU (JAX CPU backend, KS 200x7, T=300). The
+# Julia reference publishes no benchmark numbers (SURVEY §6), so the CPU
+# comparator is this same pipeline on the container CPU — re-measured each
+# time the solver changes so the ratio stays same-code apples-to-apples
+# (scripts/measure_configs.py). The round-1 comparator is kept for
+# cross-round tracking: the round-2 solver is faster on CPU too.
 BASELINE_PROVENANCE = {
-    "cpu_solve_seconds": 37.3,          # best CPU full solve (boehl-mixed, warm)
-    "cpu_sweeps_per_sec": 13.55,        # f64 JVP sweeps/sec
-    "baseline_source": "JAX-CPU same-pipeline, round-1 container (BASELINE.md)",
+    "cpu_solve_seconds": 21.3,          # same-code CPU, round-2 (newton_krylov mixed)
+    "cpu_solve_seconds_round1": 37.3,   # round-1 best CPU (boehl-mixed)
+    "cpu_sweeps_per_sec": 13.55,        # f64 JVP sweeps/sec (round 1)
+    "baseline_source": "JAX-CPU same-pipeline, this container "
+                       "(scripts/measure_configs.py, BASELINE.md)",
 }
 
 

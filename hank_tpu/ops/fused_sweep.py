@@ -140,21 +140,35 @@ def _gather_lanes(idx, *arrays):
 
 
 def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
-                             beta: float, gamma: float, borrow_cons: float):
-    """Kernel body: backward dual EGM scan then forward dual lottery scan."""
+                             beta: float, gamma: float, borrow_cons: float,
+                             n_real: int):
+    """Kernel body: backward dual EGM scan then forward dual lottery scan.
+
+    `n_a` is the VMEM lane width (padded to a multiple of 128 by the caller
+    so every lane op is full-vreg — Mosaic cannot lower several ops on
+    partial tail chunks, and the "dyn" gather tiles by whole vregs);
+    `n_real` is the true grid size. Pad lanes carry zero mass (D pads = 0)
+    and a strictly-increasing grid extension, so the only contamination
+    channel is the endogenous-knot bracket search — masked below by forcing
+    pad knots to +BIG.
+    """
     inv_g = -1.0 / gamma
 
     def kernel(r_ref, w_ref, dr_ref, dw_ref,          # SMEM (Tm1,) price paths
                vT_ref, d0_ref,                        # VMEM (n_e, n_a)
-               grid_ref,                               # VMEM (1, n_a)
+               grid_ref,                               # VMEM (n_e, n_a) — the
+               # wealth grid pre-broadcast over e OUTSIDE the kernel: lane
+               # slices of an in-kernel (1, n_a) broadcast lower to a
+               # sublane vector.broadcast Mosaic cannot legalize.
                egrid_ref,                              # VMEM (n_e, 1)
                pi_ref,                                 # VMEM (n_e, n_e)
                agg_ref, dagg_ref,                      # out VMEM (Tm1, 1)
                pol_scr, dpol_scr):                     # scratch (Tm1, n_e, n_a)
-        grid_row = grid_ref[0, :]                      # (n_a,)
-        grid2 = jnp.broadcast_to(grid_row[None, :], (n_e, n_a))
+        grid2 = grid_ref[:, :]
         labor = egrid_ref[:, :]                        # (n_e, 1)
         Pi = pi_ref[:, :]
+        lane_real = jax.lax.broadcasted_iota(i32, (n_e, n_a), 1) \
+            < jnp.asarray(n_real, i32)
 
         # ── Backward dual EGM recursion: t = Tm1-1 … 0 ────────────────────
         # Semantics: models/krusell_smith.py::ValueFunction (KrusellSmith.jl:43-83).
@@ -181,6 +195,13 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
             inv1r = 1.0 / (1.0 + r)
             implied = (c - w * labor + grid2) * inv1r
             dimplied = (dc - dw * labor) * inv1r - implied * (dr * inv1r)
+            # Pad lanes must never win the knot bracket search: force them
+            # above every real query (real implied-wealth values are far
+            # below 1e30) with zero tangent. Literals pinned to f32: under
+            # jax_enable_x64 a bare python float traces as f64 and Mosaic
+            # cannot legalize the resulting tpu.truncf f64->f32.
+            implied = jnp.where(lane_real, implied, jnp.asarray(1e30, f32))
+            dimplied = jnp.where(lane_real, dimplied, jnp.asarray(0.0, f32))
 
             # 4. Interpolate the savings policy onto the exogenous grid
             #    (ops/egm.interp_columns: knots=implied, vals=grid).
@@ -289,9 +310,25 @@ def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
     """
     Tm1 = r_path.shape[0]
     n_a, n_e = V_T.shape
-    kernel = _make_fused_sweep_kernel(Tm1, n_a, n_e,
+    # Pad the lane (wealth) axis to whole 128-lane vregs: partial tail
+    # chunks hit Mosaic lowering gaps and defeat the "dyn" gather tiling.
+    # Pads: grid extended strictly increasing (never wins a bracket search
+    # against real queries), V pads = 1 (any positive finite), D pads = 0
+    # (zero mass — pads cannot contribute to aggregates).
+    na_pad = -(-n_a // _VREG_LANES) * _VREG_LANES
+    pad_n = na_pad - n_a
+    grid32 = grid.astype(f32)
+    V32 = V_T.T.astype(f32)
+    D32 = D0.T.astype(f32)
+    if pad_n:
+        step = grid32[-1] - grid32[-2]
+        grid32 = jnp.concatenate(
+            [grid32, grid32[-1] + step * jnp.arange(1, pad_n + 1, dtype=f32)])
+        V32 = jnp.concatenate([V32, jnp.ones((n_e, pad_n), f32)], axis=1)
+        D32 = jnp.concatenate([D32, jnp.zeros((n_e, pad_n), f32)], axis=1)
+    kernel = _make_fused_sweep_kernel(Tm1, na_pad, n_e,
                                       float(beta), float(gamma),
-                                      float(borrow_cons))
+                                      float(borrow_cons), n_a)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     agg, dagg = pl.pallas_call(
@@ -300,14 +337,13 @@ def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
                    jax.ShapeDtypeStruct((Tm1, 1), f32)),
         in_specs=[smem] * 4 + [vmem] * 5,
         out_specs=(vmem, vmem),
-        scratch_shapes=[pltpu.VMEM((Tm1, n_e, n_a), f32),
-                        pltpu.VMEM((Tm1, n_e, n_a), f32)],
+        scratch_shapes=[pltpu.VMEM((Tm1, n_e, na_pad), f32),
+                        pltpu.VMEM((Tm1, n_e, na_pad), f32)],
         interpret=interpret,
     )(r_path.astype(f32), w_path.astype(f32),
       dr_path.astype(f32), dw_path.astype(f32),
-      V_T.T.astype(f32), D0.T.astype(f32),
-      grid.astype(f32)[None, :], e_grid.astype(f32)[:, None],
-      Pi.astype(f32))
+      V32, D32, jnp.tile(grid32[None, :], (n_e, 1)),
+      e_grid.astype(f32)[:, None], Pi.astype(f32))
     return agg[:, 0], dagg[:, 0]
 
 
@@ -330,6 +366,26 @@ def supports_fused_sweep(model) -> bool:
             and len(model.vars_of_type("heterogeneous")) == 1
             and {"r", "w"} <= set(endog)
             and {"β", "γ", "borrow_cons"} <= set(model.params))
+
+
+# Horizon buckets: the kernel is compiled at the smallest bucketed Tm1 ≥ the
+# request (for Tm1 > 32) and shorter solves pad the price path with the
+# ENDING-steady-state prices — extra backward steps iterate the SS Bellman
+# at its own fixed point (V stays V_ss up to f32 roundoff; tangents stay
+# exactly zero since the pad tangents are zero), and the extra forward steps
+# are sliced off. One compiled kernel then serves every horizon up to the
+# bucket — compile cache hits instead of a fresh 10-25 min remote AOT per T
+# (299 = the default T=300 config; tests at tiny T keep exact shapes).
+_T_BUCKETS = (64, 299, 599, 1199)
+
+
+def _bucket_Tm1(Tm1: int) -> int:
+    if Tm1 <= 32:
+        return Tm1
+    for b in _T_BUCKETS:
+        if Tm1 <= b:
+            return b
+    return Tm1
 
 
 def make_fused_jvp_dir(model, ss_initial, ss_ending, exog_paths,
@@ -358,16 +414,26 @@ def make_fused_jvp_dir(model, ss_initial, ss_ending, exog_paths,
     prod = model32.exog_dims()[0]
     p = model.params
 
+    Tm1_pad = _bucket_Tm1(Tm1)
+    n_pad = Tm1_pad - Tm1
+    r_ss = jnp.full((n_pad,), float(ssT.vars["r"]), f32)
+    w_ss = jnp.full((n_pad,), float(ssT.vars["w"]), f32)
+    zeros_pad = jnp.zeros((n_pad,), f32)
+
     def jvp_dir(x, v):
         x32 = x.astype(f32)
         v32 = v.astype(f32)
         xp = x32.reshape(Tm1, cs.n_endog)
         vp = v32.reshape(Tm1, cs.n_endog)
         agg, dagg = fused_sweep_jvp(
-            xp[:, i_r], xp[:, i_w], vp[:, i_r], vp[:, i_w],
+            jnp.concatenate([xp[:, i_r], r_ss]),
+            jnp.concatenate([xp[:, i_w], w_ss]),
+            jnp.concatenate([vp[:, i_r], zeros_pad]),
+            jnp.concatenate([vp[:, i_w], zeros_pad]),
             ssT.value, ss0.D, wealth.grid, prod.grid, prod.transition,
             beta=float(p["β"]), gamma=float(p["γ"]),
             borrow_cons=float(p["borrow_cons"]), interpret=interpret)
+        agg, dagg = agg[:Tm1], dagg[:Tm1]
 
         def tail(xx, kd):
             x_mat = assemble_full_xmat(xx, {kd_key: kd}, exog32, model32,

@@ -167,7 +167,27 @@ def make_path_solver(
         if use_fused:
             fused = make_fused_jvp_dir(model, ss_initial, ss_ending,
                                        exog_paths, interpret=not on_tpu)
+            # Pre-flight: compile + run one sweep NOW. A Mosaic kernel that
+            # cannot compile for this shape (e.g. the remote AOT compile
+            # helper is unavailable and the shape is not in the persistent
+            # cache) must degrade to the XLA direction path instead of
+            # blowing up mid-solve.
+            try:
+                x_probe = jnp.tile(jnp.asarray(
+                    [ss_ending.vars[k]
+                     for k in model.vars_of_type("endogenous")],
+                    dtype=config.dtype), model.compspec.T - 1)
+                jax.block_until_ready(
+                    fused(x_probe, jnp.zeros_like(x_probe)))
+            except Exception as e:  # pragma: no cover - backend-dependent
+                import warnings
+                warnings.warn(
+                    "fused sweep kernel unavailable for this shape "
+                    f"({type(e).__name__}); falling back to the XLA "
+                    "direction path")
+                use_fused = False
 
+        if use_fused:
             def jvp_dir(x, v):
                 return fused(x, v).astype(x.dtype)
         else:
@@ -276,6 +296,20 @@ def make_path_solver(
         # f32 operator floor: don't ask GMRES for more than the JVP noise.
         gmres_tol = 3e-7 if direction_dtype == jnp.float32 else 1e-12
 
+        # Preconditioner applications run per Arnoldi iteration; an f32 MXU
+        # matvec with the precomputed J̄⁻¹ is ~free while the emulated-f64
+        # one costs ~27 ms (measured ≈ 1 s of a 2 s solve). The f64 closure
+        # still seeds x0 (and serves the Boehl R-maps elsewhere); GMRES's
+        # convergence metric is preconditioned, so M's f32 roundoff only
+        # perturbs the preconditioner, not the solution.
+        if direction_dtype == jnp.float32:
+            _Jinv32 = solve_jbar.A_inv.astype(jnp.float32)
+
+            def precond(v):
+                return (_Jinv32 @ v.astype(jnp.float32)).astype(v.dtype)
+        else:
+            precond = solve_jbar
+
         @jax.jit
         def nk_step(x, Fx, fnorm, fnorm_prev):
             # Eisenstat-Walker (choice 2) forcing: solve the Newton system
@@ -289,7 +323,7 @@ def make_path_solver(
             eta = jnp.maximum(eta, 0.1 * eps / jnp.maximum(fnorm, 1e-300))
             A = lambda v: jvp_dir(x, v)  # noqa: E731
             d, _ = gmres_matfree(
-                A, Fx, x0=solve_jbar(Fx), M=solve_jbar,
+                A, Fx, x0=solve_jbar(Fx), M=precond,
                 tol=eta, atol=0.0,
                 restart=gmres_restart, maxiter=gmres_maxiter)
 

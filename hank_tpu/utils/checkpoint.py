@@ -65,9 +65,15 @@ def model_hash(model, include_horizon: bool = False) -> str:
         pass
     for name, dim in model.heterogeneity.items():
         h.update(name.encode())
-        h.update(np.asarray(dim.grid).tobytes())
+        # f32-canonicalized bytes: the axon TPU backend's emulated f64 is
+        # not bit-faithful across a device round-trip, so raw f64 bytes
+        # hash differently per backend and CPU-solved artifacts silently
+        # miss on TPU (observed: full-size SS re-solving on-device). Any
+        # real calibration change still moves the f32 image.
+        h.update(np.asarray(dim.grid, np.float64).astype(np.float32).tobytes())
         if dim.transition is not None:
-            h.update(np.asarray(dim.transition).tobytes())
+            h.update(np.asarray(dim.transition,
+                                np.float64).astype(np.float32).tobytes())
     return h.hexdigest()[:16]
 
 

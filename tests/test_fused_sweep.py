@@ -86,6 +86,35 @@ def test_fused_primal_matches_forward_pipeline(setup):
     assert float(jnp.max(jnp.abs(dagg))) == 0.0   # zero tangent in → zero out
 
 
+def test_bucketed_horizon_matches_xla(ks_small, ks_small_ss):
+    """Tm1 = 50 rides the 64-bucket: the kernel runs 14 extra backward steps
+    at the ending-SS prices (V stays at its fixed point, tangents stay zero)
+    and the sliced outputs must still match the exact-shape XLA jvp."""
+    from hank_tpu.ops.fused_sweep import _bucket_Tm1
+
+    assert _bucket_Tm1(50) == 64 and _bucket_Tm1(11) == 11
+    assert _bucket_Tm1(199) == 299 and _bucket_Tm1(299) == 299
+
+    model, ss = ks_small, ks_small_ss
+    import dataclasses
+    model = dataclasses.replace(
+        model, compspec=dataclasses.replace(model.compspec, T=51))
+    Tm1 = 50
+    exog = {"Z": 1.0 + 0.1 * 0.8 ** jnp.arange(1, 51)}
+    endog = model.vars_of_type("endogenous")
+    x_ss = jnp.tile(jnp.asarray([ss.vars[k] for k in endog]), Tm1)
+    F32 = make_full_residual_fn(cast_model(model, f32), cast_ss(ss, f32),
+                                cast_ss(ss, f32), cast_paths(exog, f32))
+    jvp_dir = make_fused_jvp_dir(model, ss, ss, exog, interpret=True)
+    rng = np.random.default_rng(7)
+    x = x_ss + 0.01 * jnp.asarray(rng.normal(size=x_ss.shape))
+    v = jnp.asarray(rng.normal(size=x_ss.shape))
+    ref = jax.jvp(F32, (x.astype(f32),), (v.astype(f32),))[1]
+    out = jvp_dir(x, v)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(out - ref))) < 3e-5 * max(scale, 1.0)
+
+
 def test_path_solver_direction_mode_pallas(setup):
     """Full path solve with fused-kernel directions converges to the same
     solution as the XLA direction path (f64 residuals govern accuracy)."""
