@@ -168,6 +168,9 @@ def lottery_apply_multi(policies: Sequence[jnp.ndarray], D: jnp.ndarray,
         jc, w = lottery_weights(p2, grids[i])
         idx_w.append((jc, w))
 
+    if k == 2 and _use_dense_joint(endog_shape):
+        return _lottery_apply_2d_dense(idx_w, d2, endog_shape).reshape(shape)
+
     f_idx = jnp.broadcast_to(jnp.arange(F), (*endog_shape, F))
 
     out = jnp.zeros_like(d2)
@@ -184,6 +187,48 @@ def lottery_apply_multi(policies: Sequence[jnp.ndarray], D: jnp.ndarray,
                 weight = weight * (1.0 - w)
         out = out.at[(*idxs, f_idx)].add(weight)
     return out.reshape(shape)
+
+
+def _use_dense_joint(endog_shape: tuple) -> bool:
+    """Dense one-hot lowering for the joint 2-D lottery on TPU.
+
+    The 2^k-corner scatter-add compiles and runs poorly on TPU for larger
+    state spaces (the full-size two-asset residual program did not finish
+    the remote AOT compile within 85 min; scatter is also serial-ish at
+    run time). The dense form is two one-hot masks contracted as batched
+    GEMMs — pure MXU work. Memory for the intermediate is
+    n_b·n_a·F·max(n_b, n_a) floats, so gate on state size.
+    """
+    n_b, n_a = endog_shape
+    return (jax.default_backend() in ("tpu", "axon")
+            and n_b * n_a * max(n_b, n_a) <= (1 << 22))
+
+
+def _lottery_apply_2d_dense(idx_w, d2: jnp.ndarray, endog_shape: tuple) -> jnp.ndarray:
+    """Joint 2-axis Young lottery as one-hot einsum contractions.
+
+    out[j, m, f] = Σ_{b,a} Σ_corners wb(δb) wa(δa) D[b,a,f]
+                       · 1[jc_b−1+δb = j] · 1[jc_a−1+δa = m]
+
+    Per-axis the two corners collapse into a single "soft one-hot" row
+    (mass 1−w at jc−1 and w at jc), so the joint transition is
+    S_b[b,a,f,j] · S_a[b,a,f,m] contracted against D over (b, a) — a
+    batched (j × ba)(ba × m) GEMM per f after folding D into S_b.
+    Exactly equal to the scatter form (same clipped weights).
+    """
+    n_b, n_a = endog_shape
+    (jb, wb), (ja, wa) = idx_w
+    # Soft one-hot along each axis: (b, a, F, n_target).
+    tb = jnp.arange(n_b, dtype=jb.dtype)
+    ta = jnp.arange(n_a, dtype=ja.dtype)
+    Sb = (jnp.where(jb[..., None] - 1 == tb, 1.0 - wb[..., None], 0.0)
+          + jnp.where(jb[..., None] == tb, wb[..., None], 0.0))
+    Sa = (jnp.where(ja[..., None] - 1 == ta, 1.0 - wa[..., None], 0.0)
+          + jnp.where(ja[..., None] == ta, wa[..., None], 0.0))
+    # Fold mass into the b-side, then contract origins (b, a) per f:
+    # out[j, m, f] = Σ_{b,a} (D·Sb)[b,a,f,j] · Sa[b,a,f,m].
+    return jnp.einsum("bafj,bafm->jmf", Sb * d2[..., None], Sa,
+                      preferred_element_type=d2.dtype)
 
 
 # ─────────────────────────────────────────────────────────────────────────────

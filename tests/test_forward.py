@@ -113,6 +113,31 @@ def test_lottery_apply_multi_two_dims():
     assert np.allclose(out, expected, atol=1e-13)
 
 
+def test_lottery_2d_dense_matches_scatter():
+    """The dense one-hot GEMM lowering of the joint 2-D lottery (the TPU
+    path — the 4-corner scatter-add compiles/runs poorly there) is the same
+    operator as the scatter form, on full-size-shaped inputs."""
+    from hank_tpu.ops.transition import _lottery_apply_2d_dense, lottery_weights
+
+    rng = np.random.default_rng(11)
+    n_b, n_a, F = 40, 20, 10
+    gb = np.sort(rng.uniform(0, 100, n_b))
+    ga = np.sort(rng.uniform(0, 200, n_a))
+    shape = (n_b, n_a, F)
+    pb = rng.uniform(-5, 110, size=shape)    # incl. off-grid clamps
+    pa = rng.uniform(-5, 220, size=shape)
+    D = rng.uniform(0.1, 1, size=shape); D /= D.sum()
+    scatter = np.asarray(lottery_apply_multi(
+        [jnp.asarray(pb), jnp.asarray(pa)], jnp.asarray(D),
+        [jnp.asarray(gb), jnp.asarray(ga)]))   # CPU default: scatter path
+    idx_w = [lottery_weights(jnp.asarray(pb), jnp.asarray(gb)),
+             lottery_weights(jnp.asarray(pa), jnp.asarray(ga))]
+    dense = np.asarray(_lottery_apply_2d_dense(
+        idx_w, jnp.asarray(D), (n_b, n_a)))
+    assert abs(dense.sum() - 1.0) < 1e-12
+    assert np.abs(dense - scatter).max() < 1e-14
+
+
 def test_invariant_dist_colstoch():
     rng = np.random.default_rng(7)
     n = 12
