@@ -34,6 +34,7 @@ f32 roundoff.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,17 +63,18 @@ def _bracket(knots_row: jnp.ndarray, queries: jnp.ndarray, n: int) -> jnp.ndarra
                        jnp.asarray(n - 1, i32))
 
 
-import os
-
 # Lane-gather lowering inside the kernel: "mask" (default) is the one-hot
 # masked-reduction form — compile-verified on v5e (31 ms vs 59 ms XLA at KS
 # 200x7 T=300). "dyn" tiles the table into 128-lane vreg chunks and uses
 # tpu.dynamic_gather per chunk (in-vreg gathers verified on v5e via
-# scripts/tpu_gather_probe.py), but the chunked composition still hits a
-# Mosaic lowering failure on the non-multiple-of-128 tail chunk
-# (vector<1x72xf32> -> vector<7x72xf32> broadcast) — experimental until the
-# operands are padded to full vregs.
-_GATHER_MODE = os.environ.get("HANK_TPU_GATHER", "mask")
+# scripts/tpu_gather_probe.py). Read at call time (a module-import-time
+# snapshot silently ignored HANK_TPU_GATHER set after import) and validated.
+def _gather_mode() -> str:
+    mode = os.environ.get("HANK_TPU_GATHER", "mask")
+    if mode not in ("mask", "dyn"):
+        raise ValueError(
+            f"HANK_TPU_GATHER={mode!r}: expected 'mask' or 'dyn'")
+    return mode
 
 _VREG_LANES = 128
 
@@ -100,7 +102,7 @@ def _gather_lanes(idx, *arrays):
     "mask": one shared one-hot mask + masked reductions — O(n_q·n_k) 3-D
     work, portable to Mosaic versions without dynamic_gather.
     """
-    if _GATHER_MODE == "dyn":
+    if _gather_mode() == "dyn":
         R, Q = idx.shape
         C = arrays[0].shape[-1]
         CH = _VREG_LANES

@@ -234,9 +234,10 @@ def gmres_matfree(matvec: Callable[[jnp.ndarray], jnp.ndarray],
     when the operator is a Pallas kernel (the fused sweep JVP). This
     implementation treats `matvec` as a black box: CGS2 Arnoldi (two-pass
     classical Gram-Schmidt — MGS-grade stability, fully vectorized), the
-    small (restart+1, restart) Hessenberg least-squares solved via refined
-    normal equations (TPU has no f64 SVD/QR; H is near-identity under the J̄
-    preconditioner so the squared conditioning is harmless).
+    small (restart+1, restart) Hessenberg least-squares solved by Givens
+    rotations + back-substitution (the standard GMRES recurrence — no
+    normal-equations conditioning-squaring, no ridge; TPU has no f64
+    SVD/QR but the rotations are scalar-cheap ops on an (m+1, m) array).
 
     Semantics match the reference's `gmres!(R, J̄, ·)` role
     (`NewtonRaphson.jl:97-98`): solve M(A(d)) = M(b), stopping when the
@@ -255,7 +256,43 @@ def gmres_matfree(matvec: Callable[[jnp.ndarray], jnp.ndarray],
 
     bhat = M(b)
     tol_abs = jnp.maximum(tol * jnp.linalg.norm(bhat), atol)
-    eye_ridge = 1e-28 * jnp.eye(m, dtype=dtype)
+
+    def hessenberg_ls(H, beta):
+        """min_y ‖β e₁ − H y‖ for upper-Hessenberg H via Givens QR.
+
+        Returns (y, |residual|). Columns zeroed by a happy breakdown leave a
+        ~0 diagonal in R; those y entries are pinned to 0 (their basis
+        vectors are zero too, so they cannot contribute).
+        """
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+
+        def rotate(j, Hg):
+            Hm, g = Hg
+            a, c_ = Hm[j, j], Hm[j + 1, j]
+            r = jnp.sqrt(a * a + c_ * c_)
+            safe = jnp.maximum(r, 1e-300)
+            cs = jnp.where(r > 0, a / safe, 1.0)
+            sn = jnp.where(r > 0, c_ / safe, 0.0)
+            row_j = cs * Hm[j] + sn * Hm[j + 1]
+            row_j1 = -sn * Hm[j] + cs * Hm[j + 1]
+            Hm = Hm.at[j].set(row_j).at[j + 1].set(row_j1)
+            gj, gj1 = g[j], g[j + 1]
+            g = g.at[j].set(cs * gj + sn * gj1)
+            g = g.at[j + 1].set(-sn * gj + cs * gj1)
+            return Hm, g
+
+        R, g = jax.lax.fori_loop(0, m, rotate, (H, g))
+        diag = jnp.diagonal(R[:m, :])
+        good = jnp.abs(diag) > 1e-300
+
+        def back_sub(i, y):
+            j = m - 1 - i
+            s = g[j] - jnp.dot(R[j, :m], y)
+            yj = jnp.where(good[j], s / jnp.where(good[j], diag[j], 1.0), 0.0)
+            return y.at[j].set(yj)
+
+        y = jax.lax.fori_loop(0, m, back_sub, jnp.zeros((m,), dtype))
+        return y, jnp.abs(g[m])
 
     def cycle(carry):
         x, _, it = carry
@@ -289,9 +326,10 @@ def gmres_matfree(matvec: Callable[[jnp.ndarray], jnp.ndarray],
             return V, H
 
         V, H = jax.lax.fori_loop(0, m, arnoldi, (V0, H0))
-        # min_y ‖β e1 − H y‖ via (ridged) normal equations + refined solve.
-        rhs = beta * H[0, :]                       # Hᵀ(β e1)
-        y = dense_solve(H.T @ H + eye_ridge, rhs)
+        y, _ = hessenberg_ls(H, beta)
+        # Recompute the residual against the ORIGINAL H: the rotation-chain
+        # estimate |g_m| is exact only when every diagonal survives, and
+        # breakdown columns are pinned rather than solved.
         resid = jnp.linalg.norm(
             jnp.zeros(m + 1, dtype).at[0].set(beta) - H @ y)
         return x + V[:m].T @ y, resid, it + 1

@@ -168,7 +168,7 @@ def lottery_apply_multi(policies: Sequence[jnp.ndarray], D: jnp.ndarray,
         jc, w = lottery_weights(p2, grids[i])
         idx_w.append((jc, w))
 
-    if k == 2 and _use_dense_joint(endog_shape):
+    if k == 2 and _use_dense_joint(endog_shape, F):
         return _lottery_apply_2d_dense(idx_w, d2, endog_shape).reshape(shape)
 
     f_idx = jnp.broadcast_to(jnp.arange(F), (*endog_shape, F))
@@ -189,19 +189,22 @@ def lottery_apply_multi(policies: Sequence[jnp.ndarray], D: jnp.ndarray,
     return out.reshape(shape)
 
 
-def _use_dense_joint(endog_shape: tuple) -> bool:
+def _use_dense_joint(endog_shape: tuple, n_exog_flat: int) -> bool:
     """Dense one-hot lowering for the joint 2-D lottery on TPU.
 
     The 2^k-corner scatter-add compiles and runs poorly on TPU for larger
     state spaces (the full-size two-asset residual program did not finish
     the remote AOT compile within 85 min; scatter is also serial-ish at
     run time). The dense form is two one-hot masks contracted as batched
-    GEMMs — pure MXU work. Memory for the intermediate is
-    n_b·n_a·F·max(n_b, n_a) floats, so gate on state size.
+    GEMMs — pure MXU work. The one-hot intermediates Sb/Sa materialize
+    n_b·n_a·F·max(n_b, n_a) floats (F = flattened exogenous size), so the
+    gate bounds exactly that product (2^25 floats = 128 MiB in f32,
+    comfortably under one v5e core's HBM while covering the full-size
+    two-asset config: 40·20·10·40 ≈ 2^18.3).
     """
     n_b, n_a = endog_shape
     return (jax.default_backend() in ("tpu", "axon")
-            and n_b * n_a * max(n_b, n_a) <= (1 << 22))
+            and n_b * n_a * n_exog_flat * max(n_b, n_a) <= (1 << 25))
 
 
 def _lottery_apply_2d_dense(idx_w, d2: jnp.ndarray, endog_shape: tuple) -> jnp.ndarray:

@@ -53,11 +53,14 @@ def make_full_residual_fn(model, ss_initial, ss_ending,
 
 
 def _check_finite(fnorm: float, method: str, iteration: int, x: jnp.ndarray) -> None:
-    """NaN/Inf guard around Newton steps (config.debug_nans; the analogue of
-    the reference's `safe_eval` Inf-fill diagnostics, `SteadyState.jl:199`)."""
+    """NaN/Inf guard around Newton steps (the analogue of the reference's
+    `safe_eval` Inf-fill diagnostics, `SteadyState.jl:199`). Raises
+    unconditionally — a silently-returned NaN path is useless, and with
+    strict-descent backtracking a non-finite norm here means even the
+    INITIAL residual was non-finite."""
     import math
 
-    if config.debug_nans and not math.isfinite(fnorm):
+    if not math.isfinite(fnorm):
         n_bad = int(jnp.sum(~jnp.isfinite(x)))
         raise FloatingPointError(
             f"[{method}] non-finite residual norm {fnorm} at outer iteration "
@@ -349,8 +352,18 @@ def make_path_solver(
                 Fx_t = F(x_t)
                 return x_t, Fx_t, jnp.linalg.norm(Fx_t), alpha, tries + 1
 
-            x_new, Fx_new, fn_new, _, _ = jax.lax.while_loop(
+            x_t, Fx_t, fn_t, _, _ = jax.lax.while_loop(
                 bt_cond, bt_body, (x_full, Fx_full, fn_full, 1.0, 0))
+            # Strict descent: if all 6 halvings failed (or produced a
+            # non-finite residual), keep the INCUMBENT (x, Fx, fnorm)
+            # rather than the last tried iterate — a silent NaN would
+            # otherwise end the jitted while_loop (NaN > eps is False) and
+            # return a poisoned path. The outer loops detect the resulting
+            # fnorm stall and stop.
+            ok = jnp.isfinite(fn_t) & (fn_t < fnorm)
+            x_new = jnp.where(ok, x_t, x)
+            Fx_new = jnp.where(ok, Fx_t, Fx)
+            fn_new = jnp.where(ok, fn_t, fnorm)
             return x_new, Fx_new, fn_new
 
         if host_outer:
@@ -364,6 +377,15 @@ def make_path_solver(
                     fprev, fnorm = fnorm, float(fn)
                     _check_finite(fnorm, "newton_krylov", iters + 1, x)
                     iters += 1
+                    if fnorm >= fprev:
+                        # Backtracking exhausted without descent — the step
+                        # returned the incumbent. Stop at the best point.
+                        import warnings
+                        warnings.warn(
+                            f"[newton_krylov] stalled at |F| = {fnorm:.3e} "
+                            f"after {iters} outer iterations (no descent "
+                            "direction found)")
+                        break
                     if verbose:
                         print(f"[newton_krylov] outer {iters}: |F| = {fnorm:.3e}")
                     if records is not None:
@@ -378,7 +400,11 @@ def make_path_solver(
         def run(x0):
             def cond(carry):
                 x, Fx, fnorm, fprev, it = carry
-                return (fnorm > eps) & (it < max_outer)
+                # Strict descent holds except on a backtracking stall
+                # (fnorm == fprev after the incumbent-return) — stop there
+                # instead of spinning to max_outer.
+                return (fnorm > eps) & (it < max_outer) & \
+                    ((it == 0) | (fnorm < fprev))
 
             def body(carry):
                 x, Fx, fnorm, fprev, it = carry
