@@ -36,6 +36,14 @@ def exogenousZ(T: int, *, rho: float = 0.8, z_start: float = 1.0,
     return Z
 
 
+def fused_prices(xp, exog_paths, model):
+    """Canonical-EGM price hook for the fused TPU sweep kernel
+    (`ops/fused_sweep.py`): KS household income is w·e, so the effective
+    wage IS the wage. xp is the (T-1, n_endog) endogenous block."""
+    endog = model.vars_of_type("endogenous")
+    return xp[:, endog.index("r")], xp[:, endog.index("w")]
+
+
 def ValueFunction(value_next, xvals, model):
     """One EGM step for the KS household problem (`KrusellSmith.jl:43-83`).
 

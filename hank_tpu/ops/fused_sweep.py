@@ -20,12 +20,29 @@ contractions (Mosaic constraints: ≥2-D iota, no >2-D gathers — endpoint
 gathers are one-hot masked reductions sharing a single mask).
 
 Scope: models with ONE endogenous and ONE exogenous household dimension
-whose Bellman step is the standard one-asset EGM (`KrusellSmith.jl:43-83`):
-Krusell-Smith, the 500-pt ZLB variant, and any user model using the same
-`ValueFunction` contract with (r, w) price arguments. The semantics match
-`models/krusell_smith.py::ValueFunction`, `ops/egm.interp_columns`,
-`ops/transition.lottery_apply` + `exog_apply` and
-`blocks/forward.forward_iteration` exactly (same floors, same clip
+whose Bellman step is the CANONICAL one-asset CRRA EGM
+(`KrusellSmith.jl:43-83`):
+
+    E   = max(V' Πᵀ, 1e-12)                 (expectation over e')
+    c   = (β E)^(−1/γ)                      (Euler inversion)
+    a   = (c − s·e + a') / (1+r)            (implied wealth)
+    a'  = max(interp(a ↦ grid), borrow_cons)
+    c*  = max((1+r)·a + s·e − a', 1e-12)    (budget)
+    V   = (1+r)·c*^(−γ)                     (envelope)
+
+parameterized by TWO per-period prices: the return `r` and the effective
+wage `s` multiplying the exogenous productivity/endowment grid. A model
+opts in by defining `fused_prices(xp, exog_paths, model) -> (r_path,
+s_path)` next to its `ValueFunction` — mapping its endogenous columns +
+exogenous paths onto (r, s). Krusell-Smith: (r, w); one-asset HANK:
+(r, Y − r·B̄) (taxes fund bond interest). The 500-pt ZLB variant shares
+the KS hook. `supports_fused_sweep` gates on the hook + structure.
+
+The kernel aggregates BOTH the savings policy and the consumption policy
+(models with a consumption heterogeneous variable, e.g. hank_one_asset's
+C, need the second output; KS ignores it). Semantics match
+`ops/egm.interp_columns`, `ops/transition.lottery_apply` + `exog_apply`
+and `blocks/forward.forward_iteration` exactly (same floors, same clip
 conventions, same boundary gradient zeros), so the kernel can be swapped
 under `make_path_solver`'s direction sweeps with no numerical drift beyond
 f32 roundoff.
@@ -164,7 +181,8 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
                # sublane vector.broadcast Mosaic cannot legalize.
                egrid_ref,                              # VMEM (n_e, 1)
                pi_ref,                                 # VMEM (n_e, n_e)
-               agg_ref, dagg_ref,                      # out VMEM (Tm1, 1)
+               agg_ref, dagg_ref,                      # out VMEM (Tm1, 1): savings agg
+               aggc_ref, daggc_ref,                    # out VMEM (Tm1, 1): consumption agg
                pol_scr, dpol_scr):                     # scratch (Tm1, n_e, n_a)
         grid2 = grid_ref[:, :]
         labor = egrid_ref[:, :]                        # (n_e, 1)
@@ -252,6 +270,10 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
             D, dD = carry
             pol = pol_scr[t]
             dpol = dpol_scr[t]
+            r = r_ref[t]
+            w = w_ref[t]
+            dr = dr_ref[t]
+            dw = dw_ref[t]
 
             one = jnp.asarray(1, i32)
             jc = _bracket(grid2, pol, n_a)
@@ -283,6 +305,18 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
             agg_ref[pl.ds(t, 1), :] = jnp.sum(pol * D_new).reshape(1, 1)
             dagg_ref[pl.ds(t, 1), :] = jnp.sum(
                 dpol * D_new + pol * dD_new).reshape(1, 1)
+
+            # Consumption aggregate: recompute c from the budget with the
+            # SAME period-t prices the backward step used (cheaper than two
+            # more (Tm1, n_e, n_a) scratch buffers). Pad lanes carry zero
+            # mass in D_new, so their (finite) c values contribute nothing.
+            cg_raw = (1.0 + r) * grid2 + w * labor - pol
+            cg_live = cg_raw > 1e-12
+            cg = jnp.maximum(cg_raw, 1e-12)
+            dcg = jnp.where(cg_live, dr * grid2 + dw * labor - dpol, 0.0)
+            aggc_ref[pl.ds(t, 1), :] = jnp.sum(cg * D_new).reshape(1, 1)
+            daggc_ref[pl.ds(t, 1), :] = jnp.sum(
+                dcg * D_new + cg * dD_new).reshape(1, 1)
             return D_new, dD_new
 
         jax.lax.fori_loop(jnp.asarray(0, i32), jnp.asarray(Tm1, i32), fstep,
@@ -307,8 +341,8 @@ def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
       D0: initial distribution (n_a, n_e) (zero tangent).
       grid, e_grid: wealth / productivity grids; Pi: (n_e, n_e) row-stochastic.
 
-    Returns (agg, dagg): the (T-1,) aggregate path of the savings policy
-    variable and its directional derivative.
+    Returns (agg, dagg, aggc, daggc): the (T-1,) aggregate paths of the
+    savings and consumption policies and their directional derivatives.
     """
     Tm1 = r_path.shape[0]
     n_a, n_e = V_T.shape
@@ -333,12 +367,11 @@ def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
                                       float(borrow_cons), n_a)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    agg, dagg = pl.pallas_call(
+    agg, dagg, aggc, daggc = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((Tm1, 1), f32),
-                   jax.ShapeDtypeStruct((Tm1, 1), f32)),
+        out_shape=tuple(jax.ShapeDtypeStruct((Tm1, 1), f32) for _ in range(4)),
         in_specs=[smem] * 4 + [vmem] * 5,
-        out_specs=(vmem, vmem),
+        out_specs=(vmem,) * 4,
         scratch_shapes=[pltpu.VMEM((Tm1, n_e, na_pad), f32),
                         pltpu.VMEM((Tm1, n_e, na_pad), f32)],
         interpret=interpret,
@@ -346,28 +379,37 @@ def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
       dr_path.astype(f32), dw_path.astype(f32),
       V32, D32, jnp.tile(grid32[None, :], (n_e, 1)),
       e_grid.astype(f32)[:, None], Pi.astype(f32))
-    return agg[:, 0], dagg[:, 0]
+    return agg[:, 0], dagg[:, 0], aggc[:, 0], daggc[:, 0]
+
+
+def _fused_price_hook(model):
+    """The model's `fused_prices(xp, exog_paths, model)` hook, or None.
+
+    Defined in the same module as the model's `ValueFunction` (the model
+    function file — the user surface). Defining it is the model author's
+    declaration that the Bellman step IS the canonical one-asset CRRA EGM
+    of this kernel (module docstring) under the returned (r, s) prices —
+    the correctness contract `test_fused_sweep.py` checks per model.
+    """
+    import sys
+
+    mod = sys.modules.get(getattr(model.value_fn, "__module__", ""))
+    return getattr(mod, "fused_prices", None)
 
 
 def supports_fused_sweep(model) -> bool:
-    """True iff `model`'s household block is the standard one-asset EGM the
-    kernel implements (one endogenous + one exogenous dim, KS ValueFunction
-    contract with r/w prices)."""
-    from hank_tpu.models import krusell_smith
-
-    # The parser imports model function files as fresh modules, so compare
-    # code objects (same source location), not function identity.
-    canon = krusell_smith.ValueFunction.__code__
-    code = getattr(model.value_fn, "__code__", None)
-    same_fn = (code is not None
-               and code.co_filename == canon.co_filename
-               and code.co_firstlineno == canon.co_firstlineno)
-    endog = model.vars_of_type("endogenous")
-    return (same_fn
-            and len(model.endog_dims()) == 1 and len(model.exog_dims()) == 1
-            and len(model.vars_of_type("heterogeneous")) == 1
-            and {"r", "w"} <= set(endog)
-            and {"β", "γ", "borrow_cons"} <= set(model.params))
+    """True iff `model` declares the canonical one-asset EGM price hook and
+    has the matching structure (one endogenous + one exogenous household
+    dim, CRRA params, savings [+ optional consumption] heterogeneous vars).
+    """
+    if _fused_price_hook(model) is None:
+        return False
+    if not (len(model.endog_dims()) == 1 and len(model.exog_dims()) == 1
+            and {"β", "γ", "borrow_cons"} <= set(model.params)):
+        return False
+    het = model.vars_of_type("heterogeneous")
+    policy_var = model.endog_dims()[0].policy_var
+    return policy_var in het and len(het) <= 2
 
 
 # Horizon buckets: the kernel is compiled at the smallest bucketed Tm1 ≥ the
@@ -390,12 +432,18 @@ def _bucket_Tm1(Tm1: int) -> int:
     return Tm1
 
 
-def make_fused_jvp_dir(model, ss_initial, ss_ending, exog_paths,
-                       interpret: bool = False):
-    """Build jvp_dir(x, v) -> f32 directional derivative of F at x along v,
-    with the household JVP in the fused kernel and the (cheap) assembly +
-    residual JVP in XLA — exact chain-rule composition of
-    `make_full_residual_fn` (`NewtonRaphson.jl:77-83`).
+def _build_fused(model, ss_initial, ss_ending, exog_paths,
+                 interpret: bool = False):
+    """Shared builder for the fused-kernel equilibrium-map entry points.
+
+    Returns (jvp_dir, residual32):
+      jvp_dir(x, v) -> f32 directional derivative of F at x along v, with
+        the household JVP in the fused kernel and the (cheap) assembly +
+        residual JVP in XLA — exact chain-rule composition of
+        `make_full_residual_fn` (`NewtonRaphson.jl:77-83`).
+      residual32(x) -> f32 F(x) primal via the same kernel (zero tangent) —
+        ~3.5x faster than the emulated-f64 XLA residual on TPU; used by the
+        mixed-residual outer schedule far from convergence.
     """
     from hank_tpu.blocks.assemble import assemble_full_xmat, residuals
     from hank_tpu.ops.precision import cast_model, cast_paths, cast_ss
@@ -407,41 +455,79 @@ def make_fused_jvp_dir(model, ss_initial, ss_ending, exog_paths,
 
     cs = model.compspec
     Tm1 = cs.T - 1
-    endog = model.vars_of_type("endogenous")
     het = model.vars_of_type("heterogeneous")
-    assert len(het) == 1, "fused sweep supports exactly one policy variable"
-    kd_key = het[0]
-    i_r, i_w = endog.index("r"), endog.index("w")
+    policy_var = model.endog_dims()[0].policy_var
+    extra = [k for k in het if k != policy_var]
+    assert len(extra) <= 1, (
+        "fused sweep aggregates the savings policy plus at most one "
+        "consumption variable")
+    c_key = extra[0] if extra else None
     wealth = model32.endog_dims()[0]
     prod = model32.exog_dims()[0]
     p = model.params
+    hook = _fused_price_hook(model)
 
+    def price_map(xx):
+        r, s = hook(xx.reshape(Tm1, cs.n_endog), exog32, model32)
+        return jnp.stack([r.astype(f32), s.astype(f32)])
+
+    # Horizon-bucket padding uses the ENDING-steady-state prices, computed
+    # through the same hook on the SS variable values.
     Tm1_pad = _bucket_Tm1(Tm1)
     n_pad = Tm1_pad - Tm1
-    r_ss = jnp.full((n_pad,), float(ssT.vars["r"]), f32)
-    w_ss = jnp.full((n_pad,), float(ssT.vars["w"]), f32)
+    x_ss_row = jnp.asarray([ssT.vars[k] for k in model.vars_of_type("endogenous")],
+                           f32)[None, :]
+    exog_ss = {k: jnp.asarray(ssT.vars[k], f32)[None] for k in exog32}
+    r_ssv, s_ssv = hook(x_ss_row, exog_ss, model32)
+    r_ss = jnp.full((n_pad,), jnp.asarray(r_ssv, f32).reshape(-1)[0])
+    s_ss = jnp.full((n_pad,), jnp.asarray(s_ssv, f32).reshape(-1)[0])
     zeros_pad = jnp.zeros((n_pad,), f32)
+
+    def sweep(x32, v32):
+        rs, drs = jax.jvp(price_map, (x32,), (v32,))
+        agg, dagg, aggc, daggc = fused_sweep_jvp(
+            jnp.concatenate([rs[0], r_ss]),
+            jnp.concatenate([rs[1], s_ss]),
+            jnp.concatenate([drs[0], zeros_pad]),
+            jnp.concatenate([drs[1], zeros_pad]),
+            ssT.value, ss0.D, wealth.grid, prod.grid, prod.transition,
+            beta=float(p["β"]), gamma=float(p["γ"]),
+            borrow_cons=float(p["borrow_cons"]), interpret=interpret)
+        aggs = {policy_var: agg[:Tm1]}
+        daggs = {policy_var: dagg[:Tm1]}
+        if c_key is not None:
+            aggs[c_key] = aggc[:Tm1]
+            daggs[c_key] = daggc[:Tm1]
+        return aggs, daggs
+
+    def tail(xx, aggs):
+        x_mat = assemble_full_xmat(xx, aggs, exog32, model32,
+                                   ss0.vars, ssT.vars)
+        return residuals(x_mat, model32)
 
     def jvp_dir(x, v):
         x32 = x.astype(f32)
         v32 = v.astype(f32)
-        xp = x32.reshape(Tm1, cs.n_endog)
-        vp = v32.reshape(Tm1, cs.n_endog)
-        agg, dagg = fused_sweep_jvp(
-            jnp.concatenate([xp[:, i_r], r_ss]),
-            jnp.concatenate([xp[:, i_w], w_ss]),
-            jnp.concatenate([vp[:, i_r], zeros_pad]),
-            jnp.concatenate([vp[:, i_w], zeros_pad]),
-            ssT.value, ss0.D, wealth.grid, prod.grid, prod.transition,
-            beta=float(p["β"]), gamma=float(p["γ"]),
-            borrow_cons=float(p["borrow_cons"]), interpret=interpret)
-        agg, dagg = agg[:Tm1], dagg[:Tm1]
+        aggs, daggs = sweep(x32, v32)
+        return jax.jvp(tail, (x32, aggs), (v32, daggs))[1]
 
-        def tail(xx, kd):
-            x_mat = assemble_full_xmat(xx, {kd_key: kd}, exog32, model32,
-                                       ss0.vars, ssT.vars)
-            return residuals(x_mat, model32)
+    def residual32(x):
+        x32 = x.astype(f32)
+        aggs, _ = sweep(x32, jnp.zeros_like(x32))
+        return tail(x32, aggs)
 
-        return jax.jvp(tail, (x32, agg), (v32, dagg))[1]
+    return jvp_dir, residual32
 
-    return jvp_dir
+
+def make_fused_jvp_dir(model, ss_initial, ss_ending, exog_paths,
+                       interpret: bool = False):
+    """jvp_dir(x, v) via the fused kernel (see `_build_fused`)."""
+    return _build_fused(model, ss_initial, ss_ending, exog_paths,
+                        interpret=interpret)[0]
+
+
+def make_fused_residual_fn(model, ss_initial, ss_ending, exog_paths,
+                           interpret: bool = False):
+    """F32(x) primal residual via the fused kernel (see `_build_fused`)."""
+    return _build_fused(model, ss_initial, ss_ending, exog_paths,
+                        interpret=interpret)[1]

@@ -154,8 +154,10 @@ def make_path_solver(
     max_outer = max_outer or config.path_newton_max_iter
     x_dtype = config.dtype
 
+    F32 = None     # f32 residual for the mixed-precision outer schedule
     if direction_dtype is not None and direction_dtype != x_dtype:
         from hank_tpu.ops.fused_sweep import (make_fused_jvp_dir,
+                                              make_fused_residual_fn,
                                               supports_fused_sweep)
 
         # direction_mode: "auto" uses the fused Pallas sweep kernel when the
@@ -193,6 +195,12 @@ def make_path_solver(
         if use_fused:
             def jvp_dir(x, v):
                 return fused(x, v).astype(x.dtype)
+
+            _R32 = make_fused_residual_fn(model, ss_initial, ss_ending,
+                                          exog_paths, interpret=not on_tpu)
+
+            def F32(x):
+                return _R32(x).astype(x.dtype)
         else:
             from hank_tpu.ops.precision import cast_model, cast_paths, cast_ss
 
@@ -206,6 +214,9 @@ def make_path_solver(
                 out = jax.jvp(F_dir, (x.astype(direction_dtype),),
                               (v.astype(direction_dtype),))[1]
                 return out.astype(x.dtype)
+
+            def F32(x):
+                return F_dir(x.astype(direction_dtype)).astype(x.dtype)
     else:
         def jvp_dir(x, v):
             return jax.jvp(F, (x,), (v,))[1]
@@ -313,71 +324,106 @@ def make_path_solver(
         else:
             precond = solve_jbar
 
-        @jax.jit
-        def nk_step(x, Fx, fnorm, fnorm_prev):
-            # Eisenstat-Walker (choice 2) forcing: solve the Newton system
-            # only as tightly as the outer convergence rate warrants —
-            # η_k = 0.9·(‖F_k‖/‖F_{k-1}‖)², floored at the direction-dtype
-            # noise and at what the final target still requires. Early
-            # outers (far from the path) then stop after a handful of JVP
-            # sweeps instead of over-solving a linear model that Newton
-            # discards anyway.
-            eta = jnp.clip(0.9 * (fnorm / fnorm_prev) ** 2, gmres_tol, 0.5)
-            eta = jnp.maximum(eta, 0.1 * eps / jnp.maximum(fnorm, 1e-300))
-            A = lambda v: jvp_dir(x, v)  # noqa: E731
-            d, _ = gmres_matfree(
-                A, Fx, x0=solve_jbar(Fx), M=precond,
-                tol=eta, atol=0.0,
-                restart=gmres_restart, maxiter=gmres_maxiter)
+        def make_nk_step(Fres):
+            @jax.jit
+            def nk_step(x, Fx, fnorm, fnorm_prev):
+                # Eisenstat-Walker (choice 2) forcing: solve the Newton
+                # system only as tightly as the outer convergence rate
+                # warrants — η_k = 0.9·(‖F_k‖/‖F_{k-1}‖)², floored at the
+                # direction-dtype noise and at what the final target still
+                # requires. Early outers (far from the path) then stop
+                # after a handful of JVP sweeps instead of over-solving a
+                # linear model that Newton discards anyway.
+                eta = jnp.clip(0.9 * (fnorm / fnorm_prev) ** 2, gmres_tol, 0.5)
+                eta = jnp.maximum(eta, 0.1 * eps / jnp.maximum(fnorm, 1e-300))
+                A = lambda v: jvp_dir(x, v)  # noqa: E731
+                d, _ = gmres_matfree(
+                    A, Fx, x0=solve_jbar(Fx), M=precond,
+                    tol=eta, atol=0.0,
+                    restart=gmres_restart, maxiter=gmres_maxiter)
 
-            # Backtracking: a full step across a policy-clip kink can land
-            # on the far side with a higher residual and two-cycle forever
-            # (observed on the two-asset model near the liquid grid-top
-            # clip). Halve the step until the residual decreases (≤ 6
-            # halvings); the while_loop costs ZERO extra residual
-            # evaluations when the full step already descends — the common
-            # case on smooth stretches.
-            x_full = x - d
-            Fx_full = F(x_full)
-            fn_full = jnp.linalg.norm(Fx_full)
+                # Backtracking: a full step across a policy-clip kink can
+                # land on the far side with a higher residual and two-cycle
+                # forever (observed on the two-asset model near the liquid
+                # grid-top clip). Halve the step until the residual
+                # decreases (≤ 6 halvings); the while_loop costs ZERO extra
+                # residual evaluations when the full step already descends
+                # — the common case on smooth stretches.
+                x_full = x - d
+                Fx_full = Fres(x_full)
+                fn_full = jnp.linalg.norm(Fx_full)
 
-            def bt_cond(c):
-                _, _, fn_t, _, tries = c
-                return (~(jnp.isfinite(fn_t) & (fn_t < fnorm))) & (tries < 6)
+                def bt_cond(c):
+                    _, _, fn_t, _, tries = c
+                    return (~(jnp.isfinite(fn_t) & (fn_t < fnorm))) & (tries < 6)
 
-            def bt_body(c):
-                _, _, _, alpha, tries = c
-                alpha = 0.5 * alpha
-                x_t = x - alpha * d
-                Fx_t = F(x_t)
-                return x_t, Fx_t, jnp.linalg.norm(Fx_t), alpha, tries + 1
+                def bt_body(c):
+                    _, _, _, alpha, tries = c
+                    alpha = 0.5 * alpha
+                    x_t = x - alpha * d
+                    Fx_t = Fres(x_t)
+                    return x_t, Fx_t, jnp.linalg.norm(Fx_t), alpha, tries + 1
 
-            x_t, Fx_t, fn_t, _, _ = jax.lax.while_loop(
-                bt_cond, bt_body, (x_full, Fx_full, fn_full, 1.0, 0))
-            # Strict descent: if all 6 halvings failed (or produced a
-            # non-finite residual), keep the INCUMBENT (x, Fx, fnorm)
-            # rather than the last tried iterate — a silent NaN would
-            # otherwise end the jitted while_loop (NaN > eps is False) and
-            # return a poisoned path. The outer loops detect the resulting
-            # fnorm stall and stop.
-            ok = jnp.isfinite(fn_t) & (fn_t < fnorm)
-            x_new = jnp.where(ok, x_t, x)
-            Fx_new = jnp.where(ok, Fx_t, Fx)
-            fn_new = jnp.where(ok, fn_t, fnorm)
-            return x_new, Fx_new, fn_new
+                x_t, Fx_t, fn_t, _, _ = jax.lax.while_loop(
+                    bt_cond, bt_body, (x_full, Fx_full, fn_full, 1.0, 0))
+                # Strict descent: if all 6 halvings failed (or produced a
+                # non-finite residual), keep the INCUMBENT (x, Fx, fnorm)
+                # rather than the last tried iterate — a silent NaN would
+                # otherwise end the jitted while_loop (NaN > eps is False)
+                # and return a poisoned path. The outer loops detect the
+                # resulting fnorm stall and stop.
+                ok = jnp.isfinite(fn_t) & (fn_t < fnorm)
+                x_new = jnp.where(ok, x_t, x)
+                Fx_new = jnp.where(ok, Fx_t, Fx)
+                fn_new = jnp.where(ok, fn_t, fnorm)
+                return x_new, Fx_new, fn_new
+            return nk_step
+
+        nk_step = make_nk_step(F)
 
         if host_outer:
+            # Mixed-residual outer schedule: while the residual norm is far
+            # above the f32 noise floor, evaluate residuals (GMRES rhs,
+            # backtracking, progress norm) with the f32 path — the fused
+            # kernel where available, ~3.5x cheaper than emulated-f64 XLA
+            # on TPU. Switch to full-precision residuals for the endgame;
+            # the reported convergence is always genuine f64 (classic
+            # inexact Newton: early-phase residual error only perturbs the
+            # step, never the answer).
+            residual_switch = max(1e-3, 100.0 * eps)
+            nk_step32 = make_nk_step(F32) if F32 is not None else None
+            F_fast = F32 if F32 is not None else F
+
             def run(x0):
                 x = x0
-                Fx = F(x0)
+                Fx = F_fast(x0)
                 fnorm = fprev = float(jnp.linalg.norm(Fx))
                 iters = 0
+                in_fast_phase = nk_step32 is not None
                 while fnorm > eps and iters < max_outer:
-                    x, Fx, fn = nk_step(x, Fx, fnorm, fprev)
+                    if in_fast_phase and fnorm <= residual_switch:
+                        # Re-anchor in full precision at the phase switch
+                        # (the f32 Fx carries ~1e-6-scale noise).
+                        in_fast_phase = False
+                        Fx = F(x)
+                        fprev = fnorm
+                        fnorm = float(jnp.linalg.norm(Fx))
+                        if fnorm <= eps:
+                            break
+                    step = nk_step32 if in_fast_phase else nk_step
+                    x, Fx, fn = step(x, Fx, fnorm, fprev)
                     fprev, fnorm = fnorm, float(fn)
                     _check_finite(fnorm, "newton_krylov", iters + 1, x)
                     iters += 1
                     if fnorm >= fprev:
+                        if in_fast_phase:
+                            # The f32 noise floor can stall the fast phase
+                            # before `residual_switch` is crossed — hand
+                            # over to full precision instead of giving up.
+                            in_fast_phase = False
+                            Fx = F(x)
+                            fnorm = float(jnp.linalg.norm(Fx))
+                            continue
                         # Backtracking exhausted without descent — the step
                         # returned the incumbent. Stop at the best point.
                         import warnings
@@ -387,7 +433,8 @@ def make_path_solver(
                             "direction found)")
                         break
                     if verbose:
-                        print(f"[newton_krylov] outer {iters}: |F| = {fnorm:.3e}")
+                        print(f"[newton_krylov] outer {iters}: |F| = {fnorm:.3e}"
+                              + (" (f32 phase)" if in_fast_phase else ""))
                     if records is not None:
                         records.append({"iteration": iters,
                                         "residual_norm": fnorm})

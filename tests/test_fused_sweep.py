@@ -34,7 +34,9 @@ def test_supports_predicate(ks_small):
     assert supports_fused_sweep(ks_small)
     from hank_tpu.models import load_model
     assert supports_fused_sweep(load_model("ks_large_grid", T=10))
-    assert not supports_fused_sweep(load_model("hank_one_asset", T=10))
+    # hank_one_asset declares the fused_prices hook (income (Y − rB̄)·e).
+    assert supports_fused_sweep(load_model("hank_one_asset", T=10))
+    # two endogenous household dims — outside the kernel's scope.
     assert not supports_fused_sweep(load_model("hank_two_asset", T=10))
 
 
@@ -77,13 +79,28 @@ def test_fused_primal_matches_forward_pipeline(setup):
     p = model.params
     wealth = model32.endog_dims()[0]
     prod = model32.exog_dims()[0]
-    agg, dagg = fused_sweep_jvp(
+    agg, dagg, aggc, daggc = fused_sweep_jvp(
         xp[:, i_r], xp[:, i_w], jnp.zeros(Tm1, f32), jnp.zeros(Tm1, f32),
         ss32.value, ss32.D, wealth.grid, prod.grid, prod.transition,
         beta=float(p["β"]), gamma=float(p["γ"]),
         borrow_cons=float(p["borrow_cons"]), interpret=True)
     assert float(jnp.max(jnp.abs(agg - ref))) < 1e-5
     assert float(jnp.max(jnp.abs(dagg))) == 0.0   # zero tangent in → zero out
+
+    # Consumption aggregate: rebuild c from the budget with the same-period
+    # prices and aggregate against the post-transition distribution path.
+    from hank_tpu.blocks.forward import distribution_path
+    D_path = distribution_path(pol, model32, ss32.D)   # (T, n_a, n_e)
+    grid_col = wealth.grid[:, None]
+    e_row = prod.grid[None, :]
+    ref_c = []
+    for t in range(Tm1):
+        c_t = jnp.maximum((1.0 + xp[t, i_r]) * grid_col
+                          + xp[t, i_w] * e_row - pol["KD"][t], 1e-12)
+        ref_c.append(jnp.sum(c_t * D_path[t + 1]))
+    ref_c = jnp.asarray(ref_c)
+    assert float(jnp.max(jnp.abs(aggc - ref_c))) < 1e-5
+    assert float(jnp.max(jnp.abs(daggc))) == 0.0
 
 
 def test_bucketed_horizon_matches_xla(ks_small, ks_small_ss):
@@ -111,6 +128,49 @@ def test_bucketed_horizon_matches_xla(ks_small, ks_small_ss):
     v = jnp.asarray(rng.normal(size=x_ss.shape))
     ref = jax.jvp(F32, (x.astype(f32),), (v.astype(f32),))[1]
     out = jvp_dir(x, v)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(out - ref))) < 3e-5 * max(scale, 1.0)
+
+
+def test_fused_jvp_matches_xla_hank_one_asset():
+    """The generalized kernel must serve the one-asset HANK family (income
+    (Y − rB̄)·e via the fused_prices hook; B and C both aggregated)."""
+    from tests.test_hank_one_asset import build_small_hank
+    from tests.conftest import solve_ss_cached
+
+    model = build_small_hank(T=12)
+    ss = solve_ss_cached(model)
+    Tm1 = model.compspec.T - 1
+    t = jnp.arange(1, model.compspec.T, dtype=jnp.float64)
+    exog = {"Y": jnp.ones(Tm1), "eps_m": -0.002 * 0.6 ** t}
+    endog = model.vars_of_type("endogenous")
+    x_ss = jnp.tile(jnp.asarray([ss.vars[k] for k in endog]), Tm1)
+
+    F32 = make_full_residual_fn(cast_model(model, f32), cast_ss(ss, f32),
+                                cast_ss(ss, f32), cast_paths(exog, f32))
+    jvp_dir = make_fused_jvp_dir(model, ss, ss, exog, interpret=True)
+    rng = np.random.default_rng(3)
+    for trial in range(2):
+        x = x_ss + 0.002 * jnp.asarray(rng.normal(size=x_ss.shape))
+        v = jnp.asarray(rng.normal(size=x_ss.shape))
+        ref = jax.jvp(F32, (x.astype(f32),), (v.astype(f32),))[1]
+        out = jvp_dir(x, v)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-5 * max(scale, 1.0)
+
+
+def test_fused_residual_matches_f32_xla(setup):
+    """make_fused_residual_fn == the f32 XLA residual to f32 roundoff."""
+    from hank_tpu.ops.fused_sweep import make_fused_residual_fn
+
+    model, ss, exog, x_ss = setup
+    F32 = make_full_residual_fn(cast_model(model, f32), cast_ss(ss, f32),
+                                cast_ss(ss, f32), cast_paths(exog, f32))
+    R32 = make_fused_residual_fn(model, ss, ss, exog, interpret=True)
+    rng = np.random.default_rng(5)
+    x = x_ss + 0.01 * jnp.asarray(rng.normal(size=x_ss.shape))
+    ref = F32(x.astype(f32))
+    out = R32(x)
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(out - ref))) < 3e-5 * max(scale, 1.0)
 
