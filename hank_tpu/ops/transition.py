@@ -60,8 +60,32 @@ def lottery_weights(policy: jnp.ndarray, grid: jnp.ndarray) -> tuple[jnp.ndarray
     return jc, w
 
 
+def hat_basis_weights(policy: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Lottery masses as piecewise-linear hat-function evaluations.
+
+    The Young lottery is EXACTLY interpolation against the linear basis: the
+    mass state a sends to grid point b is hat_b(clip(policy[a])), where
+    hat_b rises on [g_{b-1}, g_b] and falls on [g_b, g_{b+1}] (sentinel
+    neighbors beyond the ends). Returns H[..., n_b] with
+    H[..., b] = hat_b(policy[...]) — pure broadcast/min/relu ops, no
+    searchsorted, no integer one-hots, fusible by XLA into a single
+    reduction pass. Matches `lottery_weights` up to f.p. roundoff
+    (1 − (p−lo)/Δ vs (hi−p)/Δ differ by ulps).
+    """
+    n = grid.shape[0]
+    step_lo = grid[1] - grid[0]
+    step_hi = grid[-1] - grid[-2]
+    g_lo = jnp.concatenate([grid[:1] - step_lo, grid[:-1]])   # g_{b-1}
+    g_hi = jnp.concatenate([grid[1:], grid[-1:] + step_hi])   # g_{b+1}
+    p = jnp.clip(policy, grid[0], grid[-1])[..., None]
+    up = (p - g_lo) / (grid - g_lo)
+    down = (g_hi - p) / (g_hi - grid)
+    return jnp.maximum(jnp.minimum(up, down), 0.0)
+
+
 def lottery_apply(policy: jnp.ndarray, D: jnp.ndarray, grid: jnp.ndarray,
-                  axis: int = 0, dense: bool | None = None) -> jnp.ndarray:
+                  axis: int = 0, dense: bool | None = None,
+                  mode: str | None = None) -> jnp.ndarray:
     """Push the distribution through the endogenous savings transition.
 
     D'[a', rest] = Σ_a weight(a -> a'; policy[a, rest]) · D[a, rest]
@@ -69,12 +93,16 @@ def lottery_apply(policy: jnp.ndarray, D: jnp.ndarray, grid: jnp.ndarray,
     for each fixed combination of the non-`axis` states — the block-diagonal
     structure of `make_endogenous_transition` (`ForwardIteration.jl:37-78`).
 
-    Two lowerings:
-    - dense (default for n_a ≤ 1024): one-hot masks + an einsum contraction —
-      pure compare/multiply/reduce, no scatter. XLA:TPU lowers scatter-add
-      with duplicate indices to a serialized loop, which dominates the scan
-      step; the dense contraction is MXU/VPU work instead.
-    - scatter (large grids): the O(n_m) scatter-add.
+    Three lowerings (`mode`):
+    - "hat" (default on TPU for n_a ≤ 1024): contract D against hat-basis
+      evaluations of the policy (`hat_basis_weights`) — one fused
+      broadcast-multiply-reduce, no searchsorted/one-hot/W materialization.
+      Scales with batched (vmapped) use, where the one-hot einsum's
+      per-element W tensors dominate HBM traffic.
+    - "dense": one-hot masks + einsum contraction (kept as the reference
+      lowering for the hat path and for `dense=True` callers).
+    - "scatter" (default elsewhere / large grids): the O(n_m) scatter-add;
+      XLA:TPU serializes duplicate-index scatter-adds, so TPU avoids it.
     """
     if axis != 0:
         policy = jnp.moveaxis(policy, axis, 0)
@@ -85,18 +113,27 @@ def lottery_apply(policy: jnp.ndarray, D: jnp.ndarray, grid: jnp.ndarray,
 
     p2 = policy.reshape(n_a, rest)
     d2 = D.reshape(n_a, rest)
-    jc, w = lottery_weights(p2, grid)
 
-    if dense is None:
-        # Dense one-hot contraction wins on TPU (XLA:TPU serializes
-        # duplicate-index scatter-adds); scatter wins on CPU.
-        dense = jax.default_backend() in ("tpu", "axon") and n_a <= 1024
+    if mode is None:
+        import os
+        env = os.environ.get("HANK_TPU_LOTTERY")   # A/B probe override
+        if env:
+            mode = env
+        elif dense is not None:
+            mode = "dense" if dense else "scatter"
+        elif jax.default_backend() in ("tpu", "axon") and n_a <= 1024:
+            mode = "hat"
+        else:
+            mode = "scatter"
 
-    if dense:
-        # Layout: build the mask as (rest, a_from, a_to) so the contraction
-        # runs over the sublane axis with a_to on the lanes — contracting
-        # over a leading (untiled) axis serializes on TPU and costs ~12x in
-        # batched/vmapped use.
+    if mode == "hat":
+        # (rest, a_from, a_to) layout: reduce over the sublane axis with
+        # a_to on lanes (a leading untiled contraction axis serializes on
+        # TPU and costs ~12x in batched use).
+        H = hat_basis_weights(p2.T, grid)             # (rest, a_from, a_to)
+        out2 = jnp.sum(H * d2.T[..., None], axis=1).T
+    elif mode == "dense":
+        jc, w = lottery_weights(p2, grid)
         a_to = jnp.arange(n_a, dtype=jnp.int32)
         jc_t = jc.T                                   # (rest, n_a_from)
         w_t = w.T
@@ -104,11 +141,14 @@ def lottery_apply(policy: jnp.ndarray, D: jnp.ndarray, grid: jnp.ndarray,
         hi_hot = (a_to[None, None, :] == jc_t[..., None])
         Wmat = (lo_hot * (1.0 - w_t)[..., None] + hi_hot * w_t[..., None])
         out2 = jnp.einsum("rab,ra->rb", Wmat.astype(d2.dtype), d2.T).T
-    else:
+    elif mode == "scatter":
+        jc, w = lottery_weights(p2, grid)
         cols = jnp.broadcast_to(jnp.arange(rest)[None, :], (n_a, rest))
         out2 = jnp.zeros_like(d2)
         out2 = out2.at[jc - 1, cols].add((1.0 - w) * d2)
         out2 = out2.at[jc, cols].add(w * d2)
+    else:
+        raise ValueError(f"unknown lottery mode {mode!r}")
 
     out = out2.reshape(shape)
     if axis != 0:

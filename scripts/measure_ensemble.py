@@ -34,7 +34,10 @@ def med(fn, *a, n=3):
     return float(np.median(ts))
 
 
-def main():
+def main(lottery_mode=None, do_solve=True):
+    if lottery_mode:
+        import os
+        os.environ["HANK_TPU_LOTTERY"] = lottery_mode
     T = 300
     Tm1 = T - 1
     model = load_model("krusell_smith", T=T)
@@ -55,6 +58,8 @@ def main():
     base = 1.0 / med(jax.jit(
         lambda x, v: sweep_one(x, v, {"Z": 1.0 + 0.1 * 0.8 ** t})), x32, v32)
     out = {"single_f32_sweeps_per_sec": round(base, 2)}
+    if lottery_mode:
+        out["lottery_mode"] = lottery_mode
     for B in (64, 256, 1024):
         rhos = 0.5 + 0.4 * jnp.arange(B, dtype=f32) / B
         exog_b = {"Z": 1.0 + 0.1 * rhos[:, None] ** t[None, :]}
@@ -63,6 +68,49 @@ def main():
         out[f"ensemble_B{B}_speedup_vs_single"] = round(B / bt / base, 2)
     print(json.dumps(out), flush=True)
 
+    if do_solve:
+        # VERDICT r2 item 5: a REAL fully-traced batched solve on hardware
+        # (host_outer=False, nested while_loops) — not just sweeps.
+        from hank_tpu.parallel.ensemble import solve_ensemble
+
+        B = 64
+        rhos = 0.5 + 0.4 * jnp.arange(B, dtype=jnp.float64) / B
+        t64 = jnp.arange(1, T, dtype=jnp.float64)
+        exog_b = {"Z": 2.0 + (1.0 - 2.0) * rhos[:, None] ** t64[None, :]}
+        endog = model.vars_of_type("endogenous")
+        x0 = jnp.tile(jnp.asarray([ssT.vars[k] for k in endog]), Tm1)
+        F0 = make_full_residual_fn(model, ss0, ssT,
+                                   {k: v[0] for k, v in exog_b.items()})
+
+        def run():
+            # direction_mode="xla": the batched direction sweeps ride the
+            # vmapped XLA path (hat-basis lottery); the Pallas kernel's vmap
+            # batching rule would serialize per element anyway.
+            return solve_ensemble(x0, Jbar, exog_b, model, ss0, ssT,
+                                  method="newton_krylov", eps=1e-8,
+                                  direction_dtype=f32, direction_mode="xla")
+
+        xs, info = run()
+        jax.block_until_ready(xs)
+        t0 = time.perf_counter()
+        xs, info = run()
+        jax.block_until_ready(xs)
+        solve_s = time.perf_counter() - t0
+        resid0 = float(jnp.linalg.norm(F0(xs[0])))
+        out2 = {
+            "batched_solve_B": B,
+            "batched_solve_seconds": round(solve_s, 2),
+            "batched_solve_max_residual": float(jnp.max(info["residual_norm"])),
+            "batched_solve_path0_f64_residual": resid0,
+        }
+        print(json.dumps(out2), flush=True)
+
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lottery", default=None,
+                    help="override lottery lowering (hat|dense|scatter)")
+    ap.add_argument("--no-solve", action="store_true")
+    a = ap.parse_args()
+    main(lottery_mode=a.lottery, do_solve=not a.no_solve)

@@ -57,6 +57,35 @@ def test_lottery_apply_conserves_mass_and_mean():
     assert abs(mean_policy - mean_out) < 1e-12
 
 
+def test_lottery_modes_agree():
+    """hat / dense / scatter lowerings are the same transition (ulp-level:
+    1 − (p−lo)/Δ vs (hi−p)/Δ differ in the last bits)."""
+    import jax
+
+    grid, policy, D, _ = _rand_setup()
+    # Include exactly-clamped and off-grid policies (constrained region).
+    policy = policy.at[0, :].set(float(grid[0]))
+    policy = policy.at[-1, :].set(float(grid[-1]) + 1.0)
+    outs = {m: np.asarray(lottery_apply(policy, D, grid, mode=m))
+            for m in ("hat", "dense", "scatter")}
+    assert np.allclose(outs["hat"], outs["scatter"], atol=1e-13)
+    assert np.allclose(outs["dense"], outs["scatter"], atol=1e-13)
+
+    # JVP agreement (tangents flow through the lottery weights): perturb
+    # policies away from exact knots, keep the clamped rows (their policy
+    # tangents are zeroed by EGM's clip in real use — zero them here too).
+    rng = np.random.default_rng(11)
+    dpol = jnp.asarray(rng.normal(size=policy.shape))
+    dpol = dpol.at[0, :].set(0.0).at[-1, :].set(0.0)
+    dD = jnp.asarray(rng.normal(size=D.shape)) * 1e-3
+    jvps = {}
+    for m in ("hat", "dense", "scatter"):
+        f = lambda p, d: lottery_apply(p, d, grid, mode=m)  # noqa: E731
+        jvps[m] = np.asarray(jax.jvp(f, (policy, D), (dpol, dD))[1])
+    assert np.allclose(jvps["hat"], jvps["scatter"], atol=1e-12)
+    assert np.allclose(jvps["dense"], jvps["scatter"], atol=1e-12)
+
+
 def test_forward_step_equals_dense_transition():
     grid, policy, D, Pi = _rand_setup()
     out = np.asarray(forward_step(policy, D, grid, [Pi]))
