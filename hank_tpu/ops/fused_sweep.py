@@ -181,6 +181,10 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
                # sublane vector.broadcast Mosaic cannot legalize.
                egrid_ref,                              # VMEM (n_e, 1)
                pi_ref,                                 # VMEM (n_e, n_e)
+               glo_ref, ghi_ref,                       # VMEM (n_e, n_a): grid
+               # shifted down/up one lane (hat-basis neighbors, built outside)
+               iup_ref, idn_ref,                       # VMEM (n_e, n_a):
+               # 1/(g−g_lo), 1/(g_hi−g) — static hat slopes
                agg_ref, dagg_ref,                      # out VMEM (Tm1, 1): savings agg
                aggc_ref, daggc_ref,                    # out VMEM (Tm1, 1): consumption agg
                pol_scr, dpol_scr):                     # scratch (Tm1, n_e, n_a)
@@ -264,7 +268,17 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
         # ── Forward dual push-forward: t = 0 … Tm1-1 ──────────────────────
         # Semantics: ops/transition.lottery_apply + exog_apply,
         # blocks/forward.forward_iteration (ForwardIteration.jl:297-308).
-        b_ids = jax.lax.broadcasted_iota(i32, (n_e, n_a, n_a), 2)
+        # The Young lottery is evaluated in HAT-BASIS form
+        # (ops/transition.hat_basis_weights): mass from state a to grid bin
+        # b is hat_b(pol[a]) — pure f32 broadcast-FMA work against the
+        # STATIC grid rows (glo/ghi/iup/idn precomputed outside), replacing
+        # the int bracket search + one-hot masks + 4 masked reductions.
+        glo = glo_ref[:, :]
+        ghi = ghi_ref[:, :]
+        iup = iup_ref[:, :]
+        idn = idn_ref[:, :]
+        g_bot = grid2[:, 0:1]
+        g_top = grid2[:, n_real - 1:n_real]
 
         def fstep(t, carry):
             D, dD = carry
@@ -275,27 +289,32 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
             dr = dr_ref[t]
             dw = dw_ref[t]
 
-            one = jnp.asarray(1, i32)
-            jc = _bracket(grid2, pol, n_a)
-            lo, = _gather_lanes(jc - one, grid2)
-            hi, = _gather_lanes(jc, grid2)
-            wl_raw = (pol - lo) / (hi - lo)
-            interior = (wl_raw > 0.0) & (wl_raw < 1.0)
-            wl = jnp.clip(wl_raw, 0.0, 1.0)
-            dwl = jnp.where(interior, dpol / (hi - lo), 0.0)
+            # hat[e, a, b] = clip(min(up, down), 0, ·) with
+            #   up   = (p − g_{b-1}) / (g_b − g_{b-1})
+            #   down = (g_{b+1} − p) / (g_{b+1} − g_b)
+            # p clipped into the REAL grid range (flat boundary lottery —
+            # pad bins get zero mass; tangents die at the clip exactly as
+            # the masked-lottery "interior" convention did).
+            p = jnp.minimum(jnp.maximum(pol, g_bot), g_top)
+            pb = p[:, :, None]                          # (e, a_from, 1)
+            up = (pb - glo[:, None, :]) * iup[:, None, :]
+            down = (ghi[:, None, :] - pb) * idn[:, None, :]
+            falling = down < up
+            hat_raw = jnp.where(falling, down, up)
+            sup = hat_raw > 0.0
+            hat = jnp.maximum(hat_raw, 0.0)
+            # d hat / d p on the active branch, zero off-support and at the
+            # borrowing-constraint / top clips (dpol is zeroed there by the
+            # EGM clip upstream, but the explicit mask keeps the convention
+            # aligned with the XLA interior mask).
+            slope = jnp.where(sup,
+                              jnp.where(falling, -idn[:, None, :],
+                                        iup[:, None, :]),
+                              jnp.asarray(0.0, f32))
 
-            # Lottery masses and their tangents (a → jc-1 and a → jc).
-            mlo = (1.0 - wl) * D
-            mhi = wl * D
-            dmlo = -dwl * D + (1.0 - wl) * dD
-            dmhi = dwl * D + wl * dD
-
-            lo_hot = (b_ids == (jc - one)[:, :, None])
-            hi_hot = (b_ids == jc[:, :, None])
-            D_half = (jnp.sum(jnp.where(lo_hot, mlo[:, :, None], 0.0), axis=1)
-                      + jnp.sum(jnp.where(hi_hot, mhi[:, :, None], 0.0), axis=1))
-            dD_half = (jnp.sum(jnp.where(lo_hot, dmlo[:, :, None], 0.0), axis=1)
-                       + jnp.sum(jnp.where(hi_hot, dmhi[:, :, None], 0.0), axis=1))
+            D_half = jnp.sum(hat * D[:, :, None], axis=1)
+            dD_half = jnp.sum(hat * dD[:, :, None]
+                              + slope * (dpol * D)[:, :, None], axis=1)
 
             # Exogenous mixing D'[e', b] = Σ_e Pi[e, e'] D_half[e, b] (MXU).
             PiT = Pi.T
@@ -362,6 +381,14 @@ def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
             [grid32, grid32[-1] + step * jnp.arange(1, pad_n + 1, dtype=f32)])
         V32 = jnp.concatenate([V32, jnp.ones((n_e, pad_n), f32)], axis=1)
         D32 = jnp.concatenate([D32, jnp.zeros((n_e, pad_n), f32)], axis=1)
+    # Static hat-basis rows for the forward lottery (fstep): grid neighbors
+    # and inverse segment widths, pre-broadcast over e (in-kernel sublane
+    # broadcasts of freshly-built rows are a Mosaic legalization hazard).
+    glo = jnp.concatenate([grid32[:1] - (grid32[1] - grid32[0]), grid32[:-1]])
+    ghi = jnp.concatenate([grid32[1:], grid32[-1:] + (grid32[-1] - grid32[-2])])
+    iup = 1.0 / (grid32 - glo)
+    idn = 1.0 / (ghi - grid32)
+    tile_e = lambda v: jnp.tile(v[None, :], (n_e, 1))  # noqa: E731
     kernel = _make_fused_sweep_kernel(Tm1, na_pad, n_e,
                                       float(beta), float(gamma),
                                       float(borrow_cons), n_a)
@@ -370,15 +397,16 @@ def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
     agg, dagg, aggc, daggc = pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct((Tm1, 1), f32) for _ in range(4)),
-        in_specs=[smem] * 4 + [vmem] * 5,
+        in_specs=[smem] * 4 + [vmem] * 9,
         out_specs=(vmem,) * 4,
         scratch_shapes=[pltpu.VMEM((Tm1, n_e, na_pad), f32),
                         pltpu.VMEM((Tm1, n_e, na_pad), f32)],
         interpret=interpret,
     )(r_path.astype(f32), w_path.astype(f32),
       dr_path.astype(f32), dw_path.astype(f32),
-      V32, D32, jnp.tile(grid32[None, :], (n_e, 1)),
-      e_grid.astype(f32)[:, None], Pi.astype(f32))
+      V32, D32, tile_e(grid32),
+      e_grid.astype(f32)[:, None], Pi.astype(f32),
+      tile_e(glo), tile_e(ghi), tile_e(iup), tile_e(idn))
     return agg[:, 0], dagg[:, 0], aggc[:, 0], daggc[:, 0]
 
 
