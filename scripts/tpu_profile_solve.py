@@ -63,6 +63,11 @@ def main():
     fused_j = jax.jit(fused)
     print(f"fused f32 JVP sweep:      {med(fused_j, x_ss, v)*1e3:8.1f} ms")
 
+    from hank_tpu.ops.fused_sweep import make_fused_residual_fn
+    R32 = jax.jit(make_fused_residual_fn(
+        model, ss0, ssT, exog, interpret=jax.default_backend() == "cpu"))
+    print(f"fused f32 residual eval:  {med(R32, x_ss)*1e3:8.1f} ms")
+
     solve_jbar = make_reusable_solver(Jbar)
     b = F64(x_ss)
     print(f"Jbar triangular solve:    {med(jax.jit(solve_jbar), b)*1e3:8.1f} ms")
