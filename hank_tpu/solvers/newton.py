@@ -256,19 +256,22 @@ def make_path_solver(
             return y, inner_its
 
         @jax.jit
-        def outer_step(x, y):
-            Fx = F(x)                           # full-precision residual
+        def outer_step(x, y, Fx):
+            # Fx = F(x) is carried in from the previous outer's convergence
+            # evaluation — one full-precision residual per outer, not two.
             y_new, inner_its = y_iteration(x, y, Fx)
             x_new = x - y_new
-            return x_new, y_new, jnp.linalg.norm(F(x_new)), inner_its
+            Fx_new = F(x_new)
+            return x_new, y_new, Fx_new, jnp.linalg.norm(Fx_new), inner_its
 
         if host_outer:
             def run(x0):
                 x, y = x0, x0
-                fnorm = float(jnp.linalg.norm(F(x0)))
+                Fx = F(x0)
+                fnorm = float(jnp.linalg.norm(Fx))
                 iters = total_inner = 0
                 while fnorm > eps and iters < max_outer:
-                    x, y, fn, inner_its = outer_step(x, y)
+                    x, y, Fx, fn, inner_its = outer_step(x, y, Fx)
                     fnorm = float(fn)
                     _check_finite(fnorm, "boehl", iters + 1, x)
                     iters += 1
@@ -289,17 +292,18 @@ def make_path_solver(
         @jax.jit
         def run(x0):
             def cond(carry):
-                _, _, fnorm, it, _ = carry
+                _, _, _, fnorm, it, _ = carry
                 return (fnorm > eps) & (it < max_outer)
 
             def body(carry):
-                x, y, _, it, tot = carry
-                x_new, y_new, fnorm, inner_its = outer_step(x, y)
-                return x_new, y_new, fnorm, it + 1, tot + inner_its
+                x, y, Fx, _, it, tot = carry
+                x_new, y_new, Fx_new, fnorm, inner_its = outer_step(x, y, Fx)
+                return x_new, y_new, Fx_new, fnorm, it + 1, tot + inner_its
 
-            fnorm0 = jnp.linalg.norm(F(x0))
-            x, y, fnorm, iters, total_inner = jax.lax.while_loop(
-                cond, body, (x0, x0, fnorm0, 0, 0))
+            Fx0 = F(x0)
+            fnorm0 = jnp.linalg.norm(Fx0)
+            x, y, _, fnorm, iters, total_inner = jax.lax.while_loop(
+                cond, body, (x0, x0, Fx0, fnorm0, 0, 0))
             return x, {"iterations": iters, "inner_iterations": total_inner,
                        "residual_norm": fnorm,
                        "y_norm": jnp.linalg.norm(y)}
