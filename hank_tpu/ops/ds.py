@@ -34,10 +34,11 @@ Float64) with a TPU-native equivalent of the same accuracy class.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-# 2^12 + 1: Dekker split constant for the 24-bit f32 mantissa.
-_SPLIT = 4097.0
+# Mask clearing the low 12 bits of the f32 mantissa (bitmask split).
+_HI_MASK = -4096  # 0xFFFFF000 as int32
 
 
 def two_sum(a, b):
@@ -56,24 +57,50 @@ def quick_two_sum(a, b):
 
 
 def split(a):
-    """a = hi + lo with hi, lo having <= 12 significant bits (Dekker).
+    """a = hi + lo with hi, lo having <= 12 significant bits each.
 
-    Overflow-safe for |a| < 2^127 / 2^12 ≈ 4e34 — covers every quantity in
-    the solver including the 1e30 pad-lane sentinel.
+    BITMASK split (truncate the low 12 mantissa bits through an integer
+    view), NOT the classical Dekker multiplicative split. The Dekker form
+    `t = 4097*a; hi = t - (t - a)` is destroyed by FMA contraction: XLA:CPU's
+    LLVM backend (fp-contract=fast) fuses `t - a` into `fma(4097, a, -a)`,
+    which skips the rounding the split depends on — observed breaking
+    `two_prod` graph-dependently under jit (exact in eager mode). The
+    bitmask form has no mul-add pattern to contract, is exact for every
+    finite a including the 1e30 pad-lane sentinel, and is cheaper (integer
+    AND + subtract). `a - hi` is exact: lo is the discarded low 12 bits.
     """
-    t = _SPLIT * a
-    hi = t - (t - a)
+    bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.int32(_HI_MASK), jnp.float32)
     return hi, a - hi
 
 
 def two_prod(a, b):
-    """Error-free a · b = p + e. All partial products of 12-bit halves are
-    exactly representable in f32, so no step rounds."""
-    p = a * b
+    """a · b = p + e with |error| ≲ 2 ulp² — FMA-contraction-immune.
+
+    The classical Dekker form (`p = fl(a·b); e = ((ah·bh − p) + …)`)
+    REQUIRES consumers to see the correctly-rounded p. XLA:CPU's LLVM
+    backend compiles with fp-contract=fast and freely rematerializes the
+    `mul` inside each fusion, contracting it into the consuming add/sub as
+    an FMA over the UNROUNDED product — observed producing eps_f32-level
+    errors graph-dependently under jit (eager stays exact; an
+    optimization_barrier does not survive to the fusion pass, and no XLA
+    flag disables the contraction).
+
+    This form never references a rounded full product: all four partial
+    products of the ≤12-bit split halves are EXACTLY representable in f32,
+    so contracting any of them into an add is value-neutral
+    (fl(exact + c) either way), and the partial sums use add-only
+    `two_sum`, which has no mul to contract. The result is not bit-exact
+    Dekker (p is fl of the dominant partial sums, e carries ~2 ulp² of
+    rounding from the low accumulation) but keeps ds.mul in the same
+    ~2^-47-relative error class as the cross-term truncation already does.
+    """
     ah, al = split(a)
     bh, bl = split(b)
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, e
+    s, e1 = two_sum(ah * bl, al * bh)
+    p, e2 = two_sum(ah * bh, s)
+    e = (e1 + e2) + al * bl
+    return quick_two_sum(p, e)
 
 
 # ── ds constructors / converters ────────────────────────────────────────────
@@ -101,10 +128,12 @@ def zeros_like(x):
 
 def const(value, like):
     """ds constant broadcast against `like` (a Python float; split exactly
-    through f64)."""
+    through f64). Always returns f32 pairs — ds numbers are f32 by
+    contract (`split` bitcasts through int32), whatever dtype `like` has."""
     hi = jnp.float32(value)
     lo = jnp.float32(value - float(hi))
-    return jnp.full_like(like, hi), jnp.full_like(like, lo)
+    shape = jnp.shape(like)
+    return jnp.full(shape, hi, jnp.float32), jnp.full(shape, lo, jnp.float32)
 
 
 # ── ds arithmetic ───────────────────────────────────────────────────────────
