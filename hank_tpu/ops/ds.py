@@ -94,7 +94,19 @@ def two_prod(a, b):
     Dekker (p is fl of the dominant partial sums, e carries ~2 ulp² of
     rounding from the low accumulation) but keeps ds.mul in the same
     ~2^-47-relative error class as the cross-term truncation already does.
+
+    Operands are broadcast to their common shape BEFORE the split:
+    Mosaic's `tpu.bitcast` only accepts vectors, so a scalar operand
+    (an SMEM price read, a split constant, `inv_nroot`'s 1/γ) must be
+    splat to the vector shape it will broadcast to anyway. Value-neutral
+    outside Pallas; scalar·scalar stays scalar (fine under plain XLA,
+    callers inside kernels must pre-splat — see fused_ds).
     """
+    shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b))
+    if jnp.shape(a) != shape:
+        a = jnp.broadcast_to(a, shape)
+    if jnp.shape(b) != shape:
+        b = jnp.broadcast_to(b, shape)
     ah, al = split(a)
     bh, bl = split(b)
     s, e1 = two_sum(ah * bl, al * bh)

@@ -169,6 +169,16 @@ def _make_fused_ds_kernel(Tm1: int, n_a: int, n_e: int,
             < jnp.asarray(n_real, i32)
         tiny = (jnp.asarray(1e-12, f32), jnp.asarray(0.0, f32))
 
+        def price(hi_ref, lo_ref, t):
+            """SMEM scalar read splat to an (n_e, 1) ds pair: tpu.bitcast
+            (inside every ds product) only legalizes on vectors, so scalar
+            prices must become sublane vectors before any ds.mul."""
+            return (jnp.full((n_e, 1), hi_ref[t], f32),
+                    jnp.full((n_e, 1), lo_ref[t], f32))
+
+        beta_p = (jnp.full((n_e, 1), beta_hi, f32),
+                  jnp.full((n_e, 1), beta_lo, f32))
+
         def expect(V, P):
             """E[e, a] = Σ_k P[e, k]·V[k, a] in ds — 3-D broadcast products
             (the hat-contraction op class) + unrolled mid-axis ds sum."""
@@ -182,15 +192,15 @@ def _make_fused_ds_kernel(Tm1: int, n_a: int, n_e: int,
         def bstep(i, carry):
             V = carry
             t = jnp.asarray(Tm1 - 1, i32) - i
-            r = (r_hi_ref[t], r_lo_ref[t])
-            w = (w_hi_ref[t], w_lo_ref[t])
+            r = price(r_hi_ref, r_lo_ref, t)
+            w = price(w_hi_ref, w_lo_ref, t)
 
             # 1. Expectation over e' + infeasibility floor (exact compare).
             E = expect(V, Pi)
             E = ds.where(ds.gt(E, tiny), E, tiny)
 
             # 2. Euler inversion c = (βE)^(−1/γ) (Newton-refined ds root).
-            u = ds.mul(E, (jnp.asarray(beta_hi, f32), jnp.asarray(beta_lo, f32)))
+            u = ds.mul(E, beta_p)
             c = ds.inv_nroot(u, gamma)
 
             # 3. Implied current wealth on the endogenous grid.
@@ -253,8 +263,8 @@ def _make_fused_ds_kernel(Tm1: int, n_a: int, n_e: int,
         def fstep(t, carry):
             D = carry
             pol = (polh_scr[t], poll_scr[t])
-            r = (r_hi_ref[t], r_lo_ref[t])
-            w = (w_hi_ref[t], w_lo_ref[t])
+            r = price(r_hi_ref, r_lo_ref, t)
+            w = price(w_hi_ref, w_lo_ref, t)
 
             p = ds.minimum(ds.maximum(pol, g_bot), g_top)
             pb = (p[0][:, :, None], p[1][:, :, None])      # (e, a_from, 1)
@@ -378,6 +388,12 @@ def fused_ds_residual_sweep(r_path, w_path, V_T, D0, grid, e_grid, Pi,
         out_specs=(vmem,) * len(out_shape),
         scratch_shapes=[pltpu.VMEM((Tm1, n_e, na_pad), f32),
                         pltpu.VMEM((Tm1, n_e, na_pad), f32)],
+        # ds doubles every live temporary (hi+lo) and two_prod holds ~6
+        # partial products — the (n_e, n_a, n_a) interpolation/lottery
+        # intermediates then overflow the 16 MiB default scoped-vmem
+        # budget (measured 19.9 MiB at 200×7 T=300). v5e has 128 MiB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(r_p[0], r_p[1], w_p[0], w_p[1],
       V_p[0], V_p[1], D_p[0], D_p[1],

@@ -31,26 +31,59 @@ from jax.scipy.linalg import lu_factor, lu_solve
 from hank_tpu.config import config
 
 
+def _ruiz_scales(A: jnp.ndarray, sweeps: int = 6):
+    """Ruiz equilibration: diagonal r, c with R·A·C having ~unit max-abs
+    rows and columns (sqrt-of-max scaling, a few fixed sweeps).
+
+    Why: iterative refinement off an f32 factorization contracts like
+    κ(Ã)·eps_f32 — the two-asset J̄ has κ_∞ ≈ 5e8 raw (equation rows mix
+    asset-clearing and Euler scales), marginally past the f32 limit: the
+    container-CPU LU happens to land on the good side, the TPU
+    `LuDecompositionExpander` stalled the whole outer solve at 1.4e-6
+    (round-3 hank2 run). Equilibration cuts κ_∞ to ~2e7 (measured, 22×),
+    restoring uniform convergence on both backends. O(sweeps·n²) setup —
+    negligible next to the O(n³) factorization."""
+    r = jnp.ones((A.shape[0],), A.dtype)
+    c = jnp.ones((A.shape[1],), A.dtype)
+    for _ in range(sweeps):
+        As = A * r[:, None] * c[None, :]
+        rm = jnp.max(jnp.abs(As), axis=1)
+        cm = jnp.max(jnp.abs(As), axis=0)
+        r = r / jnp.sqrt(jnp.where(rm > 0, rm, 1.0))
+        c = c / jnp.sqrt(jnp.where(cm > 0, cm, 1.0))
+    return r, c
+
+
 def _refined_solver(A: jnp.ndarray):
     """Factor A in f32 once; return `solve(b, trans)` accurate to f64.
 
+    Ruiz-equilibrates before factoring (see `_ruiz_scales`), then runs
+    mixed-precision iterative refinement: with Ã = R·A·C factored in f32,
+    A⁻¹v = C·Ã⁻¹·R·v seeds and corrects, residuals measured against the
+    ORIGINAL A in f64.
+
     `trans=0` solves A x = b, `trans=1` solves Aᵀ x = b (reusing the same
-    factorization — needed for reverse-mode transpose solves).
-    """
+    factorization — needed for reverse-mode transpose solves; Aᵀ's scales
+    are the swapped (c, r))."""
     out_dtype = A.dtype
-    lu, piv = lu_factor(A.astype(jnp.float32))
+    r, c = _ruiz_scales(A)
+    lu, piv = lu_factor((A * r[:, None] * c[None, :]).astype(jnp.float32))
     AT = A.T
 
+    def apply_inv(v: jnp.ndarray, trans: int) -> jnp.ndarray:
+        lscale, rscale = (c, r) if trans else (r, c)
+        y = lu_solve((lu, piv), (lscale * v).astype(jnp.float32), trans=trans)
+        return rscale * y.astype(out_dtype)
+
     def solve(b: jnp.ndarray, trans: int = 0) -> jnp.ndarray:
-        x0 = lu_solve((lu, piv), b.astype(jnp.float32), trans=trans).astype(out_dtype)
+        x0 = apply_inv(b, trans)
         if out_dtype == jnp.float32:
             return x0
         M = AT if trans else A
 
         def sweep(_, x):
-            r = b - M @ x
-            dx = lu_solve((lu, piv), r.astype(jnp.float32), trans=trans).astype(out_dtype)
-            return x + dx
+            res = b - M @ x
+            return x + apply_inv(res, trans)
 
         return jax.lax.fori_loop(0, config.refine_iters, sweep, x0)
 
