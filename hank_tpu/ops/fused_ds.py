@@ -141,11 +141,20 @@ def _gather_lanes_mask(idx, *arrays):
 
 def _make_fused_ds_kernel(Tm1: int, n_a: int, n_e: int,
                           beta: float, gamma: int, borrow_cons: float,
-                          n_real: int):
+                          n_real: int, Tm1_real: int):
     """Kernel body: backward ds EGM scan, then forward ds lottery scan.
 
     Outputs are 128-lane ds partial sums per period (see `_fold_lanes_128`);
     the caller finishes Σ over the 128 lanes in f64.
+
+    Horizon-bucket periods t ≥ Tm1_real are IDENTITY on the backward carry:
+    an extra EGM step at the SS prices moves V by the SS solve's VFI
+    tolerance (~1e-6), which the f32 direction kernel tolerates but would
+    systematically poison an f64-class residual (observed: 2e-7 residual
+    error on a bucket-padded small model). Skipping the carry update makes
+    the first real period see the exact terminal condition — the unpadded
+    math. Forward pad steps need no guard: they run after every real
+    period, and their aggregates are sliced off by the caller.
     """
     bc_hi, bc_lo = _split_const(borrow_cons)
     beta_hi, beta_lo = _split_const(beta)
@@ -242,7 +251,9 @@ def _make_fused_ds_kernel(Tm1: int, n_a: int, n_e: int,
 
             polh_scr[pl.ds(t, 1)] = pol[0][None]
             poll_scr[pl.ds(t, 1)] = pol[1][None]
-            return Vn
+            if Tm1_real == Tm1:
+                return Vn
+            return ds.where(t < jnp.asarray(Tm1_real, i32), Vn, V)
 
         jax.lax.fori_loop(jnp.asarray(0, i32), jnp.asarray(Tm1, i32), bstep,
                           _pair(vT_hi_ref, vT_lo_ref))
@@ -323,9 +334,10 @@ def _make_fused_ds_kernel_debug(*args):
 
 
 @functools.partial(jax.jit, static_argnames=("beta", "gamma", "borrow_cons",
-                                             "interpret", "debug"))
+                                             "Tm1_real", "interpret", "debug"))
 def fused_ds_residual_sweep(r_path, w_path, V_T, D0, grid, e_grid, Pi,
                             *, beta: float, gamma: int, borrow_cons: float,
+                            Tm1_real: int | None = None,
                             interpret: bool = False, debug: bool = False):
     """(r, w) f64 price paths ↦ f64 aggregate savings/consumption paths,
     evaluated in double-single inside one Pallas kernel.
@@ -375,7 +387,8 @@ def fused_ds_residual_sweep(r_path, w_path, V_T, D0, grid, e_grid, Pi,
 
     make = _make_fused_ds_kernel_debug if debug else _make_fused_ds_kernel
     kernel = make(Tm1, na_pad, n_e, float(beta), int(gamma),
-                  float(borrow_cons), n_a)
+                  float(borrow_cons), n_a,
+                  Tm1 if Tm1_real is None else int(Tm1_real))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((Tm1, 128), f32) for _ in range(4)]
@@ -405,7 +418,7 @@ def fused_ds_residual_sweep(r_path, w_path, V_T, D0, grid, e_grid, Pi,
     aggc = jnp.sum(outs[2].astype(f64) + outs[3].astype(f64), axis=1)
     if debug:
         pol = outs[4].astype(f64) + outs[5].astype(f64)
-        return agg, aggc, pol
+        return agg, aggc, pol, outs[0], outs[1]
     return agg, aggc
 
 
@@ -449,16 +462,43 @@ def make_ds_residual_fn(model, ss_initial, ss_ending, exog_paths,
     r_ss = jnp.full((n_pad,), jnp.asarray(r_ssv, f64).reshape(-1)[0])
     s_ss = jnp.full((n_pad,), jnp.asarray(s_ssv, f64).reshape(-1)[0])
 
-    def F_ds(x):
-        x64 = x.astype(f64)
-        r, s = hook(x64.reshape(Tm1, cs.n_endog), exog_paths, model)
-        agg, aggc = fused_ds_residual_sweep(
-            jnp.concatenate([r.astype(f64), r_ss]),
-            jnp.concatenate([s.astype(f64), s_ss]),
+    def _sweep(r_full, s_full):
+        return fused_ds_residual_sweep(
+            r_full, s_full,
             ss_ending.value, ss_initial.D, wealth.grid, prod.grid,
             prod.transition,
             beta=float(p["β"]), gamma=int(p["γ"]),
-            borrow_cons=float(p["borrow_cons"]), interpret=interpret)
+            borrow_cons=float(p["borrow_cons"]), Tm1_real=Tm1,
+            interpret=interpret)
+
+    if interpret:
+        # Interpret mode (CPU tests) MUST NOT inline the kernel's ds ops
+        # into an enclosing jit graph: XLA:CPU's algebraic simplifier
+        # (`algsimp`) rewrites the error-free transforms and silently
+        # degrades the residual to ~1e-7 (bisected:
+        # --xla_disable_hlo_passes=algsimp restores 1e-12 agreement; the
+        # sweep under its OWN jit is unaffected). A pure_callback executes
+        # the standalone-jitted sweep from the host, fencing the enclosing
+        # graph's optimizer out. Mosaic (real TPU) has no such pass — the
+        # kernel measured 2.7e-11 on v5e — so the fence is interpret-only.
+        _sweep_device = _sweep
+
+        def _sweep(r_full, s_full):
+            import numpy as np
+
+            shape = jax.ShapeDtypeStruct((int(Tm1_pad),), f64)
+
+            def host(r, s):
+                a, c = _sweep_device(jnp.asarray(r), jnp.asarray(s))
+                return np.asarray(a), np.asarray(c)
+
+            return jax.pure_callback(host, (shape, shape), r_full, s_full)
+
+    def F_ds(x):
+        x64 = x.astype(f64)
+        r, s = hook(x64.reshape(Tm1, cs.n_endog), exog_paths, model)
+        agg, aggc = _sweep(jnp.concatenate([r.astype(f64), r_ss]),
+                           jnp.concatenate([s.astype(f64), s_ss]))
         aggs = {policy_var: agg[:Tm1]}
         if c_key is not None:
             aggs[c_key] = aggc[:Tm1]

@@ -109,6 +109,10 @@ def newton_raphson_hank(
       direction_mode: "auto" (fused Pallas sweep kernel on TPU for supported
         models), "pallas" (force the kernel; interpreted off-TPU), or "xla"
         (plain jvp through the scans).
+      residual_mode: "auto" (full-precision residuals through the fused
+        double-single kernel on TPU when the model supports it — f64-class
+        accuracy at f32 cost), "ds" (force it; interpreted off-TPU), or
+        "f64" (plain pipeline in the working dtype).
 
     Returns (x_solution, info) with info = {"iterations", "residual_norm",
     "y_norm"} as device scalars.
@@ -132,6 +136,7 @@ def make_path_solver(
     gmres_maxiter: int = 2,
     direction_dtype=None,
     direction_mode: str = "auto",
+    residual_mode: str = "auto",
     host_outer: bool = True,
     verbose: bool = False,
     records: list | None = None,
@@ -150,6 +155,43 @@ def make_path_solver(
       observability the reference's println lines lack (SURVEY §5).
     """
     F = make_full_residual_fn(model, ss_initial, ss_ending, exog_paths)
+    F_pipeline = F   # differentiable form — JVP directions must use this
+    # (the ds kernel below is a value-only evaluator)
+
+    # Accurate-residual path: on TPU, full-precision F(x) evaluations run in
+    # software-emulated f64 (~124 ms at KS 200×7 T=300 — ~40% of the round-2
+    # solve). For the supported model family the fused double-single kernel
+    # (`ops/fused_ds.py`) delivers the same accuracy class (~3e-11 absolute,
+    # measured vs emulated f64 on v5e) at ~f32 cost (13.8 ms) — well below
+    # the 1e-9 convergence target, so the reported norms remain genuine.
+    # residual_mode: "auto" (ds kernel when supported on TPU), "ds" (force;
+    # interpreted off-TPU — tests), "f64" (always the plain pipeline).
+    if residual_mode not in ("auto", "ds", "f64"):
+        raise ValueError(f"unknown residual_mode {residual_mode!r}")
+    if residual_mode != "f64":
+        from hank_tpu.ops.fused_ds import (make_ds_residual_fn,
+                                           supports_ds_residual)
+
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        use_ds = supports_ds_residual(model) and (
+            residual_mode == "ds" or on_tpu)
+        if use_ds:
+            F_ds = jax.jit(make_ds_residual_fn(model, ss_initial, ss_ending,
+                                               exog_paths,
+                                               interpret=not on_tpu))
+            try:   # compile-probe, like the fused direction kernel
+                x_probe = jnp.tile(jnp.asarray(
+                    [ss_ending.vars[k]
+                     for k in model.vars_of_type("endogenous")],
+                    dtype=config.dtype), model.compspec.T - 1)
+                jax.block_until_ready(F_ds(x_probe))
+                F = F_ds
+            except Exception as e:  # pragma: no cover - backend-dependent
+                import warnings
+                warnings.warn(
+                    "fused ds residual kernel unavailable for this shape "
+                    f"({type(e).__name__}); falling back to the f64 residual")
+
     solve_jbar = make_reusable_solver(Jbar)
     max_outer = max_outer or config.path_newton_max_iter
     x_dtype = config.dtype
@@ -219,7 +261,7 @@ def make_path_solver(
                 return F_dir(x.astype(direction_dtype)).astype(x.dtype)
     else:
         def jvp_dir(x, v):
-            return jax.jvp(F, (x,), (v,))[1]
+            return jax.jvp(F_pipeline, (x,), (v,))[1]
 
     if method == "boehl":
         # Inexact-Newton inner stop: R = J̄⁻¹(F(x) − J(x)y) is the

@@ -89,3 +89,25 @@ def test_residual_fn_shape(path_setup):
     F = make_full_residual_fn(model, ss, ss, exog)
     out = F(x0)
     assert out.shape == x0.shape  # square system
+
+
+def test_ds_residual_solve_matches_f64(path_setup):
+    """residual_mode="ds" (forced, interpreted off-TPU) drives the solve to
+    the same path as the plain-f64 residual: the double-single endgame is a
+    drop-in for emulated f64 (VERDICT r2 item 3)."""
+    model, ss, exog, x0, Jbar = path_setup
+    from hank_tpu.ops.fused_ds import supports_ds_residual
+
+    assert supports_ds_residual(model)
+    x_ds, info_ds = newton_raphson_hank(x0, Jbar, exog, model, ss, ss,
+                                        method="newton_krylov", eps=1e-9,
+                                        residual_mode="ds")
+    x_64, _ = newton_raphson_hank(x0, Jbar, exog, model, ss, ss,
+                                  method="newton_krylov", eps=1e-9,
+                                  residual_mode="f64")
+    assert float(info_ds["residual_norm"]) < 1e-9
+    # both land in the eps-basin; pointwise slack is ~cond(J)·eps
+    assert float(jnp.max(jnp.abs(x_ds - x_64))) < 1e-6
+    # the ds-reported convergence is genuine: re-measure in true f64
+    F = make_full_residual_fn(model, ss, ss, exog)
+    assert float(jnp.linalg.norm(F(x_ds))) < 2e-9
