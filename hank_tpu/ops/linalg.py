@@ -351,7 +351,7 @@ def gmres_matfree(matvec: Callable[[jnp.ndarray], jnp.ndarray],
             # ~0 remainder by max(hn, 1e-300) fills the basis with garbage
             # that poisons H. Emit a ZERO basis vector instead: A·0 = 0 for
             # a linear operator, so every later column stays zero and the
-            # ridged normal equations ignore them.
+            # Givens least-squares pins their y entries to 0.
             ok = hn > 1e-12 * jnp.maximum(jnp.linalg.norm(h), 1e-300)
             V = V.at[j + 1].set(jnp.where(ok, w / jnp.maximum(hn, 1e-300),
                                           jnp.zeros_like(w)))
