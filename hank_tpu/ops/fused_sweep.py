@@ -401,6 +401,12 @@ def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
         out_specs=(vmem,) * 4,
         scratch_shapes=[pltpu.VMEM((Tm1, n_e, na_pad), f32),
                         pltpu.VMEM((Tm1, n_e, na_pad), f32)],
+        # The hat-basis fstep materializes (n_e, n_a, n_a) 3-D intermediates;
+        # at 512 lanes that is ~31 MB of scoped VMEM — past the 16 MB XLA
+        # default but well inside the v5e core's 128 MB (measured OOM on the
+        # 500-pt large-grid KS without this).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(r_path.astype(f32), w_path.astype(f32),
       dr_path.astype(f32), dw_path.astype(f32),

@@ -23,7 +23,8 @@ import numpy as np
 
 def solve_model(model, exog_paths=None, *, method: str = "newton_krylov",
                 direction_dtype=None, eps: float = 1e-8, verbose: bool = True,
-                cache: bool = True, records: list | None = None):
+                cache: bool = True, records: list | None = None,
+                residual_mode: str = "auto"):
     """Full solve: steady states + J̄ (cached) + transition path.
 
     Returns (x_path (T-1, n_endog), info, ss_initial, ss_ending).
@@ -53,7 +54,8 @@ def solve_model(model, exog_paths=None, *, method: str = "newton_krylov",
     else:
         solver = make_path_solver(Jbar, exog_paths, model, ss0, ssT,
                                   method=method, direction_dtype=direction_dtype,
-                                  eps=eps, verbose=verbose, records=records)
+                                  eps=eps, verbose=verbose, records=records,
+                                  residual_mode=residual_mode)
         with phase("path solve", recs, verbose):
             x, info = solver(x0)
     x_path = np.asarray(x).reshape(Tm1, len(endog))
@@ -70,6 +72,10 @@ def main(argv=None):
     parser.add_argument("--mixed", action="store_true",
                         help="f32 direction sweeps (inexact Newton)")
     parser.add_argument("--eps", type=float, default=1e-8)
+    parser.add_argument("--residual-mode", default="auto",
+                        choices=["auto", "ds", "f64"],
+                        help="full-precision residual path: fused "
+                             "double-single kernel (auto/ds) or plain f64")
     parser.add_argument("--out", default=None, help="CSV output path")
     parser.add_argument("--no-cache", action="store_true")
     args = parser.parse_args(argv)
@@ -90,7 +96,8 @@ def main(argv=None):
     x_path, info, ss0, ssT = solve_model(
         model, method=args.method,
         direction_dtype=jnp.float32 if args.mixed else None,
-        eps=args.eps, cache=not args.no_cache)
+        eps=args.eps, cache=not args.no_cache,
+        residual_mode=args.residual_mode)
     wall = time.time() - t0
 
     endog = model.vars_of_type("endogenous")

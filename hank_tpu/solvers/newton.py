@@ -113,6 +113,10 @@ def newton_raphson_hank(
         double-single kernel on TPU when the model supports it — f64-class
         accuracy at f32 cost), "ds" (force it; interpreted off-TPU), or
         "f64" (plain pipeline in the working dtype).
+      stall_rescue: newton_krylov + host_outer only — when backtracking finds
+        no descent along the Newton direction (strongly nonlinear valleys,
+        e.g. the two-asset fiscal impact response), hand the iterate to the
+        adaptively-damped boehl y-iteration instead of stopping (default on).
 
     Returns (x_solution, info) with info = {"iterations", "residual_norm",
     "y_norm"} as device scalars.
@@ -140,6 +144,7 @@ def make_path_solver(
     host_outer: bool = True,
     verbose: bool = False,
     records: list | None = None,
+    stall_rescue: bool = True,
 ):
     """Build a reusable jit-compiled path solver `run(x0) -> (x, info)`.
 
@@ -470,9 +475,36 @@ def make_path_solver(
                             Fx = F(x)
                             fnorm = float(jnp.linalg.norm(Fx))
                             continue
-                        # Backtracking exhausted without descent — the step
-                        # returned the incumbent. Stop at the best point.
+                        # Backtracking exhausted without descent. On strongly
+                        # nonlinear models the Newton step can be trapped in a
+                        # curved valley it cannot traverse: measured on the
+                        # two-asset fiscal path, every damping of the (well-
+                        # solved, descent-at-first-order) Newton direction
+                        # gains < 1% per iteration while the adaptively-damped
+                        # Boehl y-iteration converges from the same point in 4
+                        # outers (the globalization the reference's
+                        # `y_Iteration`, NewtonRaphson.jl:65-114, exists for).
+                        # Hand the iterate to boehl instead of giving up.
                         import warnings
+                        if stall_rescue and fnorm > eps:
+                            warnings.warn(
+                                f"[newton_krylov] no descent at |F| = "
+                                f"{fnorm:.3e} after {iters} outers — "
+                                "switching to the boehl y-iteration")
+                            rescue = make_path_solver(
+                                Jbar, exog_paths, model, ss_initial,
+                                ss_ending, method="boehl", eps=eps,
+                                max_outer=max(max_outer - iters, 4),
+                                max_inner=max_inner,
+                                direction_dtype=direction_dtype,
+                                direction_mode=direction_mode,
+                                residual_mode=residual_mode,
+                                host_outer=True, verbose=verbose,
+                                records=records)
+                            x, rinfo = rescue(x)
+                            fnorm = float(rinfo["residual_norm"])
+                            iters += int(rinfo["iterations"])
+                            break
                         warnings.warn(
                             f"[newton_krylov] stalled at |F| = {fnorm:.3e} "
                             f"after {iters} outer iterations (no descent "

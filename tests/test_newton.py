@@ -91,6 +91,44 @@ def test_residual_fn_shape(path_setup):
     assert out.shape == x0.shape  # square system
 
 
+def test_stall_rescue_hands_off_to_boehl(path_setup, monkeypatch):
+    """When the Newton-Krylov direction cannot descend (measured on the
+    two-asset fiscal path: a curved valley where every damping of the
+    Newton step gains < 1% while boehl converges in 4 outers), the host
+    loop must hand the iterate to the boehl y-iteration and still converge.
+    Forced here by making GMRES return a zero direction."""
+    import warnings
+
+    import hank_tpu.solvers.newton as newton_mod
+
+    model, ss, exog, x0, Jbar = path_setup
+    real_gmres = newton_mod.gmres_matfree
+    calls = {"n": 0}
+
+    def zero_gmres(A, b, **kw):
+        calls["n"] += 1
+        d, info = real_gmres(A, b, **kw)
+        return jnp.zeros_like(d), info
+
+    monkeypatch.setattr(newton_mod, "gmres_matfree", zero_gmres)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        x, info = newton_raphson_hank(x0, Jbar, exog, model, ss, ss,
+                                      method="newton_krylov", eps=1e-9)
+    assert calls["n"] > 0                      # the stall was actually forced
+    assert float(info["residual_norm"]) < 1e-9  # rescue converged anyway
+
+    monkeypatch.setattr(newton_mod, "gmres_matfree", real_gmres)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        x_plain, info_plain = newton_raphson_hank(
+            x0, Jbar, exog, model, ss, ss, method="newton_krylov",
+            eps=1e-9, stall_rescue=False)
+    # sanity: rescue-off still behaves (this problem never stalls)
+    assert float(info_plain["residual_norm"]) < 1e-9
+    assert float(jnp.max(jnp.abs(x - x_plain))) < 1e-7
+
+
 def test_ds_residual_solve_matches_f64(path_setup):
     """residual_mode="ds" (forced, interpreted off-TPU) drives the solve to
     the same path as the plain-f64 residual: the double-single endgame is a
