@@ -61,13 +61,19 @@ from hank_tpu.ops.egm import interp_columns
 
 # Portfolio-split FOC solve inside one Bellman step: g(a') =
 # W_b(s-a', a') - W_a(s-a', a') is increasing in a' (both continuation
-# values are concave), so monotone bisection isolates the root robustly
-# across the piecewise-linear kinks of the interpolated surfaces (plain
-# Newton crawls there), and a short Newton polish restores smoothness and
-# the implicit-function derivative for AD. Fixed counts keep the step
-# jit/scan/AD-compatible; 2^-30 · s_max ≈ 1e-7 bracket + quadratic polish
-# reaches f64-level FOC residuals.
-_SPLIT_BISECT_ITERS = 30
+# values are concave), so the root along each line b' = s - a' is unique
+# and bracketable. The solve is staged for TPU: one WIDE batched scan of g
+# at K fixed fractions of s (a single vectorized evaluation — sequential
+# small interp kernels are latency-bound on TPU) brackets the root to
+# s/(K-1); a short monotone bisection tightens the bracket across the
+# piecewise-bilinear kinks (plain Newton crawls there); a clamped Newton
+# polish restores smoothness; the implicit-function step (below) yields
+# the AD derivative. Fixed counts keep the step jit/scan/AD-compatible.
+# Sequential depth: 1 wide + BISECT + POLISH + 1 jvp evaluations of g,
+# vs 30 bisections + 2 bracket evals in the round-2 design (2.3x fewer
+# serialized interp passes per Bellman step; the wide scan vectorizes).
+_SPLIT_SCAN_K = 48
+_SPLIT_BISECT_ITERS = 12
 _SPLIT_POLISH_ITERS = 3
 
 
@@ -115,6 +121,83 @@ def _interp_val_slope(W: jnp.ndarray, grid: jnp.ndarray, q: jnp.ndarray, axis: i
     interior = (q > grid[0]) & (q < grid[-1])
     slope = jnp.where(interior, (Whi - Wlo) / (hi - lo), 0.0)
     return val, slope
+
+
+def _hat_weights_and_deriv(q: jnp.ndarray, grid: jnp.ndarray):
+    """Hat-basis weights H[..., n] and dH/dq for piecewise-linear interp.
+
+    interp(W, q) = Σ_i hat_i(clip(q)) · W[i] — the same identity the forward
+    lottery uses (`ops/transition.hat_basis_weights`), applied to
+    interpolation: pure broadcast/min/relu arithmetic, NO searchsorted and NO
+    gathers, so the contraction against W lowers to an MXU matmul instead of
+    the serialized gathers XLA:TPU emits for advanced indexing. Flat
+    extrapolation: values clamp to the end knots; dH is zero outside the OPEN
+    grid interval and on exact knots (measure-zero; matches the `interior`
+    convention of `_bilinear`/`_interp_val_slope` up to knot-point ties).
+    """
+    step_lo = grid[1] - grid[0]
+    step_hi = grid[-1] - grid[-2]
+    g_lo = jnp.concatenate([grid[:1] - step_lo, grid[:-1]])    # g_{i-1}
+    g_hi = jnp.concatenate([grid[1:], grid[-1:] + step_hi])    # g_{i+1}
+    p = jnp.clip(q, grid[0], grid[-1])[..., None]
+    up = (p - g_lo) / (grid - g_lo)
+    down = (g_hi - p) / (g_hi - grid)
+    H = jnp.maximum(jnp.minimum(up, down), 0.0)
+    interior = ((q > grid[0]) & (q < grid[-1]))[..., None]
+    rising = interior & (g_lo < p) & (p < grid)                # left flank
+    falling = interior & (grid < p) & (p < g_hi)               # right flank
+    dH = (jnp.where(rising, 1.0, 0.0) / (grid - g_lo)
+          - jnp.where(falling, 1.0, 0.0) / (g_hi - grid))
+    return H, dH
+
+
+def _bilinear_hat(W: jnp.ndarray, bgrid: jnp.ndarray, agrid: jnp.ndarray,
+                  qb: jnp.ndarray, qa: jnp.ndarray):
+    """Gather-free `_bilinear`: tensor-product hat-basis contraction.
+
+    val(q) = Σ_ij hat_i(qb)·hat_j(qa)·W[i,j,e] — two small GEMMs per output
+    (MXU work) instead of 4 serialized gathers per query. Slopes come from
+    the derivative hats; unused outputs are DCE'd by XLA at the call sites
+    that discard them.
+    """
+    Hb, dHb = _hat_weights_and_deriv(qb, bgrid)    # (..., n_e, n_b)
+    Ha, dHa = _hat_weights_and_deriv(qa, agrid)    # (..., n_e, n_a)
+    T1 = jnp.einsum("...eb,bae->...ea", Hb, W)
+    val = jnp.einsum("...ea,...ea->...e", T1, Ha)
+    da = jnp.einsum("...ea,...ea->...e", T1, dHa)
+    Td = jnp.einsum("...eb,bae->...ea", dHb, W)
+    db = jnp.einsum("...ea,...ea->...e", Td, Ha)
+    return val, db, da
+
+
+def _interp_val_slope_hat(W: jnp.ndarray, grid: jnp.ndarray, q: jnp.ndarray,
+                          axis: int):
+    """Gather-free `_interp_val_slope`: 1-D hat-basis contraction along `axis`."""
+    Wm = jnp.moveaxis(W, axis, 0)                  # (n_k, *rest)
+    qm = jnp.moveaxis(q, axis, 0)                  # (n_q, *rest)
+    H, dH = _hat_weights_and_deriv(qm, grid)       # (n_q, *rest, n_k)
+    val = jnp.einsum("q...k,k...->q...", H, Wm)
+    slope = jnp.einsum("q...k,k...->q...", dH, Wm)
+    return jnp.moveaxis(val, 0, axis), jnp.moveaxis(slope, 0, axis)
+
+
+def _use_hat_interp() -> bool:
+    """Hat-basis (gather-free) interpolation on TPU; gathers elsewhere.
+
+    Same backend gate as `ops/transition.lottery_apply`: XLA:TPU serializes
+    the advanced-indexing gathers of `_bilinear` (the dominant cost of the
+    two-asset backward sweep on device), while on CPU the 4-gathers form is
+    ~n_b·n_a/4 times fewer flops. `HANK_TPU_BILINEAR` ∈ {hat, gather}
+    overrides for A/B probes.
+    """
+    import os
+
+    env = os.environ.get("HANK_TPU_BILINEAR")
+    if env:
+        if env not in ("hat", "gather"):
+            raise ValueError(f"HANK_TPU_BILINEAR must be hat|gather, got {env!r}")
+        return env == "hat"
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _bilinear(W: jnp.ndarray, bgrid: jnp.ndarray, agrid: jnp.ndarray,
@@ -166,6 +249,11 @@ def ValueFunction(value_next, xvals, model):
     lam = access.transition[0, 1]                 # i.i.d. access probability
     n_b, n_a, n_e = liquid.n, illiq.n, income.n
 
+    if _use_hat_interp():
+        bilinear, interp_vs = _bilinear_hat, _interp_val_slope_hat
+    else:
+        bilinear, interp_vs = _bilinear, _interp_val_slope
+
     p = model.params
     beta, gamma = p["β"], p["γ"]
     inv_g = -1.0 / gamma
@@ -190,7 +278,7 @@ def ValueFunction(value_next, xvals, model):
     payout = a_raw - a_next                                     # ≥ 0, top only
     capped = a_raw >= agrid[-1]                                 # (n_a,)
     inc_n = payout[None, :, None] + y_e[None, None, :]          # (1, n_a, n_e)
-    Wb_n, _ = _interp_val_slope(Wb, agrid,
+    Wb_n, _ = interp_vs(Wb, agrid,
                                 jnp.broadcast_to(a_next[None, :, None],
                                                  (n_b, n_a, n_e)), axis=1)
     c_end_n = Wb_n ** inv_g
@@ -221,12 +309,21 @@ def ValueFunction(value_next, xvals, model):
         dW_a/da' = ∂_a W_a < 0, so gp = -wb_db - wa_da > 0.
         """
         b_s = s2 - a_s
-        wb, wb_db, _ = _bilinear(Wb, bgrid, agrid, b_s, a_s)
-        wa, _, wa_da = _bilinear(Wa, bgrid, agrid, b_s, a_s)
+        wb, wb_db, _ = bilinear(Wb, bgrid, agrid, b_s, a_s)
+        wa, _, wa_da = bilinear(Wa, bgrid, agrid, b_s, a_s)
         return wb - wa, -wb_db - wa_da
 
-    g_lo, _ = g_fun(jnp.zeros_like(s2))
-    g_hi, _ = g_fun(s2)
+    # Wide bracket scan: evaluate g at K fixed fractions of s in ONE batched
+    # interp pass (slopes are dead code here — XLA DCEs them), then take the
+    # bracket around the sign change. g is increasing along the line, so the
+    # bracket is [last a with g < 0, next sample].
+    frac = jnp.linspace(0.0, 1.0, _SPLIT_SCAN_K, dtype=s2.dtype)
+    a_scan = frac[:, None, None] * s2                      # (K, n_s, n_e)
+    g_scan, _ = g_fun(a_scan)
+    g_lo, g_hi = g_scan[0], g_scan[-1]                     # corner tests below
+    i_lo = jnp.clip(jnp.sum(g_scan < 0, axis=0) - 1, 0, _SPLIT_SCAN_K - 2)
+    lo = jnp.take_along_axis(a_scan, i_lo[None], axis=0)[0]
+    hi = jnp.take_along_axis(a_scan, i_lo[None] + 1, axis=0)[0]
 
     def bisect(_, lohi):
         lo, hi = lohi
@@ -235,12 +332,18 @@ def ValueFunction(value_next, xvals, model):
         neg = g < 0
         return jnp.where(neg, mid, lo), jnp.where(neg, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(0, _SPLIT_BISECT_ITERS, bisect,
-                               (jnp.zeros_like(s2), s2))
+    lo, hi = jax.lax.fori_loop(0, _SPLIT_BISECT_ITERS, bisect, (lo, hi))
+
+    # Newton polish clamped to the (slightly widened) bracket: a near-tie in
+    # the f.p. scan can put the true root one ulp outside [lo, hi], and an
+    # unclamped step from a kinked cell could leave the basin entirely.
+    width = hi - lo
+    p_lo = jnp.maximum(lo - width, 0.0)
+    p_hi = jnp.minimum(hi + width, s2)
 
     def polish(_, a_s):
         g, gp = g_fun(a_s)
-        return jnp.clip(a_s - g / jnp.maximum(gp, 1e-10), 0.0, s2)
+        return jnp.clip(a_s - g / jnp.maximum(gp, 1e-10), p_lo, p_hi)
 
     a_iter = jax.lax.fori_loop(0, _SPLIT_POLISH_ITERS, polish, 0.5 * (lo + hi))
 
@@ -263,8 +366,8 @@ def ValueFunction(value_next, xvals, model):
     # Corners: marginal unit strictly better in one asset over [0, s].
     a_star = jnp.where(g_lo >= 0, 0.0, jnp.where(g_hi <= 0, s2, a_star))
     b_star = s2 - a_star
-    wb_s, _, _ = _bilinear(Wb, bgrid, agrid, b_star, a_star)
-    wa_s, _, _ = _bilinear(Wa, bgrid, agrid, b_star, a_star)
+    wb_s, _, _ = bilinear(Wb, bgrid, agrid, b_star, a_star)
+    wa_s, _, _ = bilinear(Wa, bgrid, agrid, b_star, a_star)
     # Marginal value of savings: at an interior split both agree; at a
     # corner the marginal unit goes to the better asset.
     W_s = jnp.maximum(wb_s, wa_s)                               # (n_s, n_e)
@@ -297,10 +400,10 @@ def ValueFunction(value_next, xvals, model):
     # below the cap (continuation value W_a at (b', a')); at the cap
     # da'/da = 0 and the no-access margin is worthless (the access branch,
     # mixed in with weight λ upstream, carries the cap's remaining value).
-    Wa_n, _ = _interp_val_slope(
+    Wa_n, _ = interp_vs(
         Wa, agrid, jnp.broadcast_to(a_next[None, :, None], (n_b, n_a, n_e)),
         axis=1)
-    Wa_n_at_b, _ = _interp_val_slope(Wa_n, bgrid, pol_b_n, axis=0)
+    Wa_n_at_b, _ = interp_vs(Wa_n, bgrid, pol_b_n, axis=0)
     Va_margin_n = jnp.where(capped[None, :, None], 0.0, Wa_n_at_b)
 
     Vb_n_new = (1.0 + r) * up_n
