@@ -142,6 +142,7 @@ def make_path_solver(
     direction_mode: str = "auto",
     residual_mode: str = "auto",
     host_outer: bool = True,
+    host_inner: bool = False,
     verbose: bool = False,
     records: list | None = None,
     stall_rescue: bool = True,
@@ -155,6 +156,13 @@ def make_path_solver(
       iterations; enables per-iteration records and avoids a v5e kernel fault
       observed with nested while_loops over the dual-precision program). Set
       False for the fully-traced variant (required under vmap — ensembles).
+    host_inner: (boehl, requires host_outer) drive the inner Richardson loop
+      from the host as well, compiling only three SMALL programs (jvp_dir,
+      J̄⁻¹ apply, F) instead of one traced outer_step. The traced outer_step
+      for the two-asset T=300 program stalls the XLA:TPU pipeline for hours
+      (mirroring the round-2 two-asset compile stall, BASELINE.md); the
+      pieces compile in minutes and the per-iteration host dispatch (~ms)
+      is irrelevant next to the sweep cost. The stall-rescue path uses this.
     records: optional list; appended one dict per outer iteration
       (residual norm, inner sweeps) when host_outer is set — the structured
       observability the reference's println lines lack (SURVEY §5).
@@ -173,6 +181,8 @@ def make_path_solver(
     # interpreted off-TPU — tests), "f64" (always the plain pipeline).
     if residual_mode not in ("auto", "ds", "f64"):
         raise ValueError(f"unknown residual_mode {residual_mode!r}")
+    if host_inner and (method != "boehl" or not host_outer):
+        raise ValueError("host_inner requires method='boehl' and host_outer")
     if residual_mode != "f64":
         from hank_tpu.ops.fused_ds import (make_ds_residual_fn,
                                            supports_ds_residual)
@@ -310,6 +320,49 @@ def make_path_solver(
             x_new = x - y_new
             Fx_new = F(x_new)
             return x_new, y_new, Fx_new, jnp.linalg.norm(Fx_new), inner_its
+
+        if host_outer and host_inner:
+            # Host-driven inner Richardson: the same iteration as
+            # y_iteration, dispatched as three small compiled programs.
+            jvp_j = jax.jit(jvp_dir)
+            solve_j = jax.jit(solve_jbar)
+            F_j = jax.jit(F)
+
+            def run(x0):
+                x, y = x0, x0
+                Fx = F_j(x)
+                fnorm = float(jnp.linalg.norm(Fx))
+                iters = total_inner = 0
+                while fnorm > eps and iters < max_outer:
+                    tol = max(inner_eta * float(jnp.linalg.norm(solve_j(Fx))),
+                              1e-300)
+                    rnorm, inner_its = float("inf"), 0
+                    while rnorm > tol and inner_its < max_inner:
+                        Lxy = jvp_j(x, y)
+                        R = solve_j(Fx - Lxy)
+                        alpha = _boehl_alpha(
+                            rayleigh_quotient(solve_j(Lxy), y))
+                        y = y + alpha * R
+                        rnorm = float(jnp.linalg.norm(R))
+                        inner_its += 1
+                    x = x - y
+                    Fx = F_j(x)
+                    fnorm = float(jnp.linalg.norm(Fx))
+                    _check_finite(fnorm, "boehl", iters + 1, x)
+                    iters += 1
+                    total_inner += inner_its
+                    if verbose:
+                        print(f"[boehl/host] outer {iters}: |F| = {fnorm:.3e} "
+                              f"(+{inner_its} sweeps)", flush=True)
+                    if records is not None:
+                        records.append({"iteration": iters,
+                                        "residual_norm": fnorm,
+                                        "inner_sweeps": inner_its})
+                return x, {"iterations": iters, "inner_iterations": total_inner,
+                           "residual_norm": fnorm,
+                           "y_norm": float(jnp.linalg.norm(y))}
+
+            return run
 
         if host_outer:
             def run(x0):
@@ -499,8 +552,8 @@ def make_path_solver(
                                 direction_dtype=direction_dtype,
                                 direction_mode=direction_mode,
                                 residual_mode=residual_mode,
-                                host_outer=True, verbose=verbose,
-                                records=records)
+                                host_outer=True, host_inner=True,
+                                verbose=verbose, records=records)
                             x, rinfo = rescue(x)
                             fnorm = float(rinfo["residual_norm"])
                             iters += int(rinfo["iterations"])

@@ -41,6 +41,28 @@ def test_boehl_converges(path_setup):
     assert int(info["iterations"]) <= 20
 
 
+def test_boehl_host_inner_matches_traced(path_setup):
+    """host_inner=True (three small compiled programs, the stall-rescue
+    configuration — built because the traced two-asset outer_step stalls
+    the XLA:TPU compile pipeline) reproduces the traced boehl solve."""
+    from hank_tpu.solvers.newton import make_path_solver
+
+    model, ss, exog, x0, Jbar = path_setup
+    solve_t = make_path_solver(Jbar, exog, model, ss, ss, method="boehl",
+                               eps=1e-9)
+    solve_h = make_path_solver(Jbar, exog, model, ss, ss, method="boehl",
+                               eps=1e-9, host_inner=True)
+    x_t, info_t = solve_t(x0)
+    x_h, info_h = solve_h(x0)
+    assert float(info_h["residual_norm"]) < 1e-9
+    assert int(info_h["iterations"]) == int(info_t["iterations"])
+    assert float(jnp.max(jnp.abs(x_h - x_t))) < 1e-10
+
+    with pytest.raises(ValueError):
+        make_path_solver(Jbar, exog, model, ss, ss, method="newton_krylov",
+                         host_inner=True)
+
+
 def test_solvers_agree_with_dense(path_setup):
     """1e-8 pointwise agreement between the fast solvers and the
     ground-truth dense-Jacobian Newton (build-plan step 6/8)."""
