@@ -118,8 +118,10 @@ def newton_raphson_hank(
         e.g. the two-asset fiscal impact response), hand the iterate to the
         adaptively-damped boehl y-iteration instead of stopping (default on).
 
-    Returns (x_solution, info) with info = {"iterations", "residual_norm",
-    "y_norm"} as device scalars.
+    Returns (x_solution, info) with info = {"iterations", "residual_norm"}
+    plus, for method="boehl", {"inner_iterations", "y_norm"} (the last
+    Newton-step norm — the reference's stopping quantity,
+    `NewtonRaphson.jl:38-44`).
     """
     return make_path_solver(Jbar, exog_paths, model, ss_initial, ss_ending,
                             **kwargs)(x0)
@@ -569,8 +571,7 @@ def make_path_solver(
                     if records is not None:
                         records.append({"iteration": iters,
                                         "residual_norm": fnorm})
-                return x, {"iterations": iters, "residual_norm": fnorm,
-                           "y_norm": fnorm}
+                return x, {"iterations": iters, "residual_norm": fnorm}
 
             return run
 
@@ -593,8 +594,7 @@ def make_path_solver(
             fnorm0 = jnp.linalg.norm(Fx0)
             x, _, fnorm, _, iters = jax.lax.while_loop(
                 cond, body, (x0, Fx0, fnorm0, fnorm0, 0))
-            return x, {"iterations": iters, "residual_norm": fnorm,
-                       "y_norm": fnorm}
+            return x, {"iterations": iters, "residual_norm": fnorm}
 
         return run
 
