@@ -77,6 +77,10 @@ def main(argv=None):
                         help="full-precision residual path: fused "
                              "double-single kernel (auto/ds) or plain f64")
     parser.add_argument("--out", default=None, help="CSV output path")
+    parser.add_argument("--plot", default=None, metavar="PNG",
+                        help="write a transition-path plot "
+                             "(the reference driver's plot step, "
+                             "RunMain.jl:57-60)")
     parser.add_argument("--no-cache", action="store_true")
     args = parser.parse_args(argv)
 
@@ -118,6 +122,13 @@ def main(argv=None):
         rows = np.column_stack([np.arange(1, x_path.shape[0] + 1), x_path])
         np.savetxt(args.out, rows, delimiter=",", header=header, comments="")
         print(f"path written to {args.out}")
+
+    if args.plot:
+        from hank_tpu.utils.plotting import plot_transition
+
+        plot_transition(x_path, endog, args.plot, ss_initial=ss0,
+                        ss_ending=ssT, title=summary["model"])
+        print(f"plot written to {args.plot}")
 
 
 if __name__ == "__main__":
