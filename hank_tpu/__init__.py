@@ -47,7 +47,12 @@ from hank_tpu.model.structures import (  # noqa: E402
 from hank_tpu.model.parser import build_model_from_yaml  # noqa: E402
 from hank_tpu.solvers.steady_state import SteadyState, find_ss, get_steady_states  # noqa: E402
 from hank_tpu.solvers.ss_jacobian import get_steady_state_jacobian  # noqa: E402
-from hank_tpu.solvers.newton import newton_raphson_hank, make_full_residual_fn  # noqa: E402
+from hank_tpu.solvers.newton import (  # noqa: E402
+    make_full_residual_fn,
+    make_path_solver,
+    newton_raphson_hank,
+)
+from hank_tpu.run import solve_model  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -64,5 +69,7 @@ __all__ = [
     "get_steady_states",
     "get_steady_state_jacobian",
     "make_full_residual_fn",
+    "make_path_solver",
     "newton_raphson_hank",
+    "solve_model",
 ]
