@@ -68,6 +68,13 @@ def main():
         model, ss0, ssT, exog, interpret=jax.default_backend() == "cpu"))
     print(f"fused f32 residual eval:  {med(R32, x_ss)*1e3:8.1f} ms")
 
+    from hank_tpu.ops.fused_ds import make_ds_residual_fn, supports_ds_residual
+    if supports_ds_residual(model):
+        Rds = jax.jit(make_ds_residual_fn(
+            model, ss0, ssT, exog, interpret=jax.default_backend() == "cpu"))
+        print(f"fused ds residual eval:   {med(Rds, x_ss)*1e3:8.1f} ms "
+              f"(|ds-f64| = {float(jnp.max(jnp.abs(Rds(x_ss) - F64(x_ss)))):.1e})")
+
     solve_jbar = make_reusable_solver(Jbar)
     b = F64(x_ss)
     print(f"Jbar triangular solve:    {med(jax.jit(solve_jbar), b)*1e3:8.1f} ms")
