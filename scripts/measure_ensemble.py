@@ -68,6 +68,28 @@ def main(lottery_mode=None, do_solve=True):
         out[f"ensemble_B{B}_speedup_vs_single"] = round(B / bt / base, 2)
     print(json.dumps(out), flush=True)
 
+    # Phase split at B=256: backward (EGM interp gathers) vs forward
+    # (lottery contraction) vs residual tail, all vmapped — tells WHICH
+    # batched scan the next optimization round should target.
+    from hank_tpu.blocks.backward import backward_iteration
+    from hank_tpu.blocks.forward import forward_iteration
+
+    B = 256
+    rhos = 0.5 + 0.4 * jnp.arange(B, dtype=f32) / B
+    exog_b = {"Z": 1.0 + 0.1 * rhos[:, None] ** t[None, :]}
+
+    def back_one(x, ex):
+        return backward_iteration(x, ex, model32, ssT_32.vars, ssT_32.value)
+
+    bck = jax.jit(jax.vmap(back_one, in_axes=(None, 0)))
+    tb = med(bck, x32, exog_b)
+    pols = bck(x32, exog_b)
+    fwd = jax.jit(jax.vmap(lambda p: forward_iteration(p, model32, ss0_32.D)))
+    tf = med(fwd, pols)
+    print(json.dumps({"phase_split_B": B,
+                      "backward_batched_s": round(tb, 3),
+                      "forward_batched_s": round(tf, 3)}), flush=True)
+
     if do_solve:
         # VERDICT r2 item 5: a REAL fully-traced batched solve on hardware
         # (host_outer=False, nested while_loops) — not just sweeps.
