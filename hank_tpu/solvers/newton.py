@@ -185,6 +185,7 @@ def make_path_solver(
         raise ValueError(f"unknown residual_mode {residual_mode!r}")
     if host_inner and (method != "boehl" or not host_outer):
         raise ValueError("host_inner requires method='boehl' and host_outer")
+    ds_active = False
     if residual_mode != "f64":
         from hank_tpu.ops.fused_ds import (make_ds_residual_fn,
                                            supports_ds_residual)
@@ -203,6 +204,7 @@ def make_path_solver(
                     dtype=config.dtype), model.compspec.T - 1)
                 jax.block_until_ready(F_ds(x_probe))
                 F = F_ds
+                ds_active = True
             except Exception as e:  # pragma: no cover - backend-dependent
                 import warnings
                 warnings.warn(
@@ -496,9 +498,17 @@ def make_path_solver(
             # the reported convergence is always genuine f64 (classic
             # inexact Newton: early-phase residual error only perturbs the
             # step, never the answer).
+            #
+            # When the ds residual kernel is active, the "fast" f32 phase is
+            # strictly dominated: F is ALREADY ~f32-cost (13.8 ms ds kernel
+            # vs 34.8 ms for the zero-tangent fused f32 sweep at KS T=300)
+            # AND carries ~1e-11 accuracy instead of f32 noise — the phase
+            # machinery then only adds noisy outers (measured 8 outers vs
+            # 5-6). Skip it and run every outer on the ds residual.
             residual_switch = max(1e-3, 100.0 * eps)
-            nk_step32 = make_nk_step(F32) if F32 is not None else None
-            F_fast = F32 if F32 is not None else F
+            use_fast_phase = F32 is not None and not ds_active
+            nk_step32 = make_nk_step(F32) if use_fast_phase else None
+            F_fast = F32 if use_fast_phase else F
 
             def run(x0):
                 x = x0
