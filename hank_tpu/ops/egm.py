@@ -11,11 +11,68 @@ reference flags as a startup hazard (`SteadyState.jl:129-132`).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 
-def interp_columns(x: jnp.ndarray, knots: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+def _interp_mode(n_k: int) -> str:
+    """Default lowering for `interp_columns` on this backend.
+
+    "hat" (gather-free hat-basis contraction) on TPU for moderate knot
+    counts: XLA:TPU lowers the per-column `take_along_axis` gathers of the
+    "gather" form so poorly that the batched (vmapped) backward scan spends
+    13.6 ms/step on them at B=256 (measured, `scripts/measure_ensemble.py`
+    phase split: backward 4.07 s vs forward 0.058 s) — the dense n_q·n_k
+    hat form is ~10x cheaper there and also trims the single-path XLA sweep.
+    On CPU (and for large grids) the 4-gathers form is O(n_q log n_k) and
+    wins. `HANK_TPU_INTERP` ∈ {hat, gather} overrides for A/B probes.
+    """
+    env = os.environ.get("HANK_TPU_INTERP")
+    if env:
+        if env not in ("hat", "gather"):
+            raise ValueError(f"HANK_TPU_INTERP must be hat|gather, got {env!r}")
+        return env
+    if jax.default_backend() in ("tpu", "axon") and n_k <= 1024:
+        return "hat"
+    return "gather"
+
+
+def _interp_columns_hat(x: jnp.ndarray, knots: jnp.ndarray,
+                        vals: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free `interp_columns`: per-column hat-basis contraction.
+
+    interp(x)[q, e] = Σ_k hat_k(clip(x[q,e]); knots[:,e]) · vals[k, e] —
+    the same identity the forward lottery (`ops/transition
+    .hat_basis_weights`) and the two-asset fixed-grid interps use, here with
+    DYNAMIC per-column knots (the EGM endogenous grid changes every scan
+    step). Pure broadcast/min/relu arithmetic + one reduction: no
+    searchsorted, no gathers, so it fuses into a single VPU pass and scales
+    with vmapped batch axes.
+
+    Requires (non-strictly) monotone-increasing knots per column — guaranteed
+    for EGM implied-wealth knots along the transition path (consumption is
+    increasing in next-period assets, so implied wealth is strictly
+    increasing); the "gather" form stays the default where arbitrary knots
+    can appear (CPU VFI experiments).
+    """
+    # (e, q, k) layout: k on lanes, q on sublanes — the reduction axis last.
+    xT = x.T[:, :, None]                              # (n_e, n_q, 1)
+    g = knots.T[:, None, :]                           # (n_e, 1, n_k)
+    g_lo = jnp.concatenate([2 * g[..., :1] - g[..., 1:2], g[..., :-1]], -1)
+    g_hi = jnp.concatenate([g[..., 1:], 2 * g[..., -1:] - g[..., -2:-1]], -1)
+    p = jnp.clip(xT, g[..., :1], g[..., -1:])
+    d_up = g - g_lo
+    d_dn = g_hi - g
+    up = (p - g_lo) / jnp.where(d_up > 0, d_up, 1.0)
+    down = (g_hi - p) / jnp.where(d_dn > 0, d_dn, 1.0)
+    H = jnp.maximum(jnp.minimum(up, down), 0.0)       # (n_e, n_q, n_k)
+    return jnp.einsum("eqk,ek->eq", H, vals.T).T
+
+
+def interp_columns(x: jnp.ndarray, knots: jnp.ndarray, vals: jnp.ndarray,
+                   mode: str | None = None) -> jnp.ndarray:
     """Column-wise interpolation over exogenous states.
 
     Args:
@@ -26,18 +83,24 @@ def interp_columns(x: jnp.ndarray, knots: jnp.ndarray, vals: jnp.ndarray) -> jnp
     Returns (n_q, n_exog): for each column e, interp(x[:, e], knots[:, e],
     vals[:, e]) with flat extrapolation.
 
-    TPU-lean lowering: bracket location is a vectorized comparison-sum (one
-    compare + reduce, no binary-search loop), followed by two gathers and a
-    clipped lerp — a handful of fused VPU ops per scan step instead of the
-    many kernels `jnp.interp` emits. The clip gives zero gradient outside the
-    knot range (flat extrapolation), matching the reference's Flat()
-    extrapolation and clamped-boundary zero-derivative convention.
+    Two lowerings (`mode`, default per backend — `_interp_mode`):
+    - "gather": comparison-sum bracket location + two gathers + clipped lerp;
+      robust to arbitrary (even locally non-monotone) knots.
+    - "hat": gather-free hat-basis contraction (`_interp_columns_hat`);
+      requires monotone knots, scales with vmapped batch axes on TPU.
+    Both give flat extrapolation (zero gradient outside the knot range),
+    matching the reference's Flat() extrapolation and clamped-boundary
+    zero-derivative convention.
     """
     n_k, n_exog = knots.shape
     if x.ndim == 1:
         x = jnp.broadcast_to(x[:, None], (x.shape[0], n_exog))
     if vals.ndim == 1:
         vals = jnp.broadcast_to(vals[:, None], (vals.shape[0], n_exog))
+    if mode is None:
+        mode = _interp_mode(n_k)
+    if mode == "hat":
+        return _interp_columns_hat(x, knots, vals)
 
     # idx[q, e] = #{k : knots[k, e] < x[q, e]}, clipped to a valid bracket.
     idx = jnp.sum(knots[None, :, :] < x[:, None, :], axis=1)

@@ -185,6 +185,24 @@ def make_path_solver(
         raise ValueError(f"unknown residual_mode {residual_mode!r}")
     if host_inner and (method != "boehl" or not host_outer):
         raise ValueError("host_inner requires method='boehl' and host_outer")
+
+    # Under an enclosing trace (vmap over shock ensembles — parallel/
+    # ensemble.py — or an outer jit) the Pallas kernels are unusable: the
+    # compile-probes below would "succeed" as tracers and commit to kernels
+    # whose batching rule cannot lower (observed: the ds residual kernel's
+    # SMEM block spec fails for a batched exog operand). Degrade the "auto"
+    # modes to the XLA paths; explicitly forced kernel modes are an error.
+    traced = any(isinstance(v, jax.core.Tracer)
+                 for v in jax.tree_util.tree_leaves((Jbar, exog_paths)))
+    if traced:
+        if residual_mode == "ds" or direction_mode == "pallas":
+            raise ValueError(
+                "residual_mode='ds' / direction_mode='pallas' cannot be used "
+                "under vmap/jit tracing (Pallas kernels have no batching "
+                "rule here); use 'auto' or the XLA modes")
+        residual_mode = "f64"
+        direction_mode = "xla"
+
     ds_active = False
     if residual_mode != "f64":
         from hank_tpu.ops.fused_ds import (make_ds_residual_fn,
@@ -331,18 +349,33 @@ def make_path_solver(
             jvp_j = jax.jit(jvp_dir)
             solve_j = jax.jit(solve_jbar)
             F_j = jax.jit(F)
+            # Full-precision direction endgame: with f32 direction sweeps the
+            # Newton step carries ~1e-6-relative noise, so the outer residual
+            # wobbles at that floor instead of descending to eps (measured on
+            # the full-size two-asset T=300 path on v5e: outers 13-18 bounce
+            # in [1.35e-6, 2.4e-6]). When progress stalls above eps, switch
+            # the sweeps to the full-precision pipeline for the tail — the
+            # classic mixed-precision endgame, paid only for the last ~2-4
+            # outers.
+            jvp_full = (jax.jit(lambda x, v: jax.jvp(F_pipeline, (x,), (v,))[1])
+                        if direction_dtype is not None
+                        and direction_dtype != x_dtype else None)
 
             def run(x0):
                 x, y = x0, x0
                 Fx = F_j(x)
                 fnorm = float(jnp.linalg.norm(Fx))
                 iters = total_inner = 0
+                jvp_use, full_dirs = jvp_j, jvp_full is None
+                best = fnorm
+                since_improve = 0
+                x_best, F_best = x, Fx
                 while fnorm > eps and iters < max_outer:
                     tol = max(inner_eta * float(jnp.linalg.norm(solve_j(Fx))),
                               1e-300)
                     rnorm, inner_its = float("inf"), 0
                     while rnorm > tol and inner_its < max_inner:
-                        Lxy = jvp_j(x, y)
+                        Lxy = jvp_use(x, y)
                         R = solve_j(Fx - Lxy)
                         alpha = _boehl_alpha(
                             rayleigh_quotient(solve_j(Lxy), y))
@@ -355,6 +388,24 @@ def make_path_solver(
                     _check_finite(fnorm, "boehl", iters + 1, x)
                     iters += 1
                     total_inner += inner_its
+                    if fnorm < 0.5 * best:
+                        since_improve = 0
+                    else:
+                        since_improve += 1
+                    if fnorm < best:
+                        best, x_best, F_best = fnorm, x, Fx
+                    if since_improve >= 2 and not full_dirs:
+                        full_dirs = True
+                        jvp_use = jvp_full
+                        x, Fx = x_best, F_best       # restart from the best
+                        fnorm, y = best, jnp.zeros_like(y)
+                        since_improve = 0
+                        if verbose:
+                            print("[boehl/host] f32 direction floor at "
+                                  f"|F| = {best:.3e}; switching to "
+                                  "full-precision sweeps", flush=True)
+                    elif since_improve >= 4:
+                        break                        # genuine stall
                     if verbose:
                         print(f"[boehl/host] outer {iters}: |F| = {fnorm:.3e} "
                               f"(+{inner_its} sweeps)", flush=True)
@@ -362,6 +413,8 @@ def make_path_solver(
                         records.append({"iteration": iters,
                                         "residual_norm": fnorm,
                                         "inner_sweeps": inner_its})
+                if best < fnorm:
+                    x, fnorm = x_best, best
                 return x, {"iterations": iters, "inner_iterations": total_inner,
                            "residual_norm": fnorm,
                            "y_norm": float(jnp.linalg.norm(y))}
