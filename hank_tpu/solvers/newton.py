@@ -148,6 +148,7 @@ def make_path_solver(
     verbose: bool = False,
     records: list | None = None,
     stall_rescue: bool = True,
+    endgame: str = "auto",
 ):
     """Build a reusable jit-compiled path solver `run(x0) -> (x, info)`.
 
@@ -354,19 +355,54 @@ def make_path_solver(
             # wobbles at that floor instead of descending to eps (measured on
             # the full-size two-asset T=300 path on v5e: outers 13-18 bounce
             # in [1.35e-6, 2.4e-6]). When progress stalls above eps, switch
-            # the sweeps to the full-precision pipeline for the tail — the
+            # the direction sweeps to full precision for the tail — the
             # classic mixed-precision endgame, paid only for the last ~2-4
-            # outers.
+            # outers. Two endgame operators:
+            #   "jvp" — AD through the full-precision pipeline (exact);
+            #   "fd"  — central difference of the full-precision residual,
+            #           J·v ≈ (F(x+hu) − F(x−hu))·|v|/(2h) with u = v/|v|.
+            # "fd" reuses the ALREADY-COMPILED residual program — no second
+            # 10-25 min remote AOT compile of an emulated-f64 AD program —
+            # and avoids emulated-f64 AD entirely (the f64 jvp of the
+            # two-asset pipeline returns non-finite tangents on v5e; the
+            # same program is finite in native f64 on CPU). Directional
+            # error ~ h²‖F‴‖ + ε₆₄‖F‖/h ≈ 1e-10 per unit tangent at
+            # h = 1e-5 — far below the 1e-5 inner forcing. endgame="auto"
+            # picks "fd" on TPU, "jvp" elsewhere; AD non-finiteness under
+            # "jvp" also falls back to "fd" mid-solve.
+            mixed = direction_dtype is not None and direction_dtype != x_dtype
+            if endgame not in ("auto", "jvp", "fd"):
+                raise ValueError(f"unknown endgame {endgame!r}")
+            endgame_mode = endgame
+            if endgame == "auto":
+                endgame_mode = ("fd" if jax.default_backend()
+                                in ("tpu", "axon") else "jvp")
             jvp_full = (jax.jit(lambda x, v: jax.jvp(F_pipeline, (x,), (v,))[1])
-                        if direction_dtype is not None
-                        and direction_dtype != x_dtype else None)
+                        if mixed else None)
+            # FD must difference the PLAIN full-precision pipeline: the ds
+            # kernel's ~3e-11 value noise would be amplified by 1/(2h).
+            F_fd = (F_j if not ds_active else jax.jit(F_pipeline)) if mixed \
+                else None
+            fd_h = 1e-5
+
+            def jvp_fd(x, v):
+                import math
+                vn = float(jnp.linalg.norm(v))
+                if vn == 0.0 or not math.isfinite(vn):
+                    return jnp.zeros_like(x)
+                u = v * (1.0 / vn)
+                return (F_fd(x + fd_h * u)
+                        - F_fd(x - fd_h * u)) * (vn / (2.0 * fd_h))
+
+            jvp_endgame = jvp_fd if endgame_mode == "fd" else jvp_full
 
             def run(x0):
                 x, y = x0, x0
                 Fx = F_j(x)
                 fnorm = float(jnp.linalg.norm(Fx))
                 iters = total_inner = 0
-                jvp_use, full_dirs = jvp_j, jvp_full is None
+                jvp_eg = jvp_endgame
+                jvp_use, full_dirs = jvp_j, not mixed
                 best = fnorm
                 since_improve = 0
                 x_best, F_best = x, Fx
@@ -382,6 +418,21 @@ def make_path_solver(
                         y = y + alpha * R
                         rnorm = float(jnp.linalg.norm(R))
                         inner_its += 1
+                    if not bool(jnp.all(jnp.isfinite(y))):
+                        # Non-finite direction. If it came from the AD
+                        # endgame, retry the tail with the FD operator from
+                        # the best iterate; otherwise surface it.
+                        if full_dirs and jvp_use is jvp_full:
+                            jvp_use = jvp_eg = jvp_fd
+                            x, Fx, fnorm = x_best, F_best, best
+                            y = jnp.zeros_like(x)
+                            since_improve = 0
+                            if verbose:
+                                print("[boehl/host] non-finite f64-AD "
+                                      "direction; switching to central-"
+                                      "difference sweeps", flush=True)
+                            continue
+                        _check_finite(float("nan"), "boehl", iters + 1, y)
                     x = x - y
                     Fx = F_j(x)
                     fnorm = float(jnp.linalg.norm(Fx))
@@ -396,7 +447,7 @@ def make_path_solver(
                         best, x_best, F_best = fnorm, x, Fx
                     if since_improve >= 2 and not full_dirs:
                         full_dirs = True
-                        jvp_use = jvp_full
+                        jvp_use = jvp_eg
                         x, Fx = x_best, F_best       # restart from the best
                         fnorm, y = best, jnp.zeros_like(y)
                         since_improve = 0

@@ -171,3 +171,48 @@ def test_ds_residual_solve_matches_f64(path_setup):
     # the ds-reported convergence is genuine: re-measure in true f64
     F = make_full_residual_fn(model, ss, ss, exog)
     assert float(jnp.linalg.norm(F(x_ds))) < 2e-9
+
+
+def test_fd_direction_matches_jvp(path_setup):
+    """Central-difference directions (the TPU endgame operator — emulated-f64
+    AD of the two-asset pipeline is non-finite on v5e) match the true JVP to
+    ~1e-9 per unit tangent: h²‖F‴‖ + ε₆₄‖F‖/h at h = 1e-5."""
+    import jax
+
+    model, ss, exog, x0, Jbar = path_setup
+    F = make_full_residual_fn(model, ss, ss, exog)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(x0.shape))
+    x = x0 + 0.01 * jnp.asarray(rng.standard_normal(x0.shape))
+    vn = float(jnp.linalg.norm(v))
+    u = v / vn
+    h = 1e-5
+    fd = (F(x + h * u) - F(x - h * u)) * (vn / (2 * h))
+    ad = jax.jvp(F, (x,), (v,))[1]
+    assert float(jnp.max(jnp.abs(fd - ad))) / vn < 1e-8
+
+
+def test_boehl_host_inner_fd_endgame(path_setup, capsys):
+    """endgame='fd' wiring: drive the f32-direction phase to its floor
+    (eps below reach), confirm the solver switches to central-difference
+    sweeps and stays finite/convergent rather than wobbling or NaN-ing."""
+    from hank_tpu.solvers.newton import make_path_solver
+
+    model, ss, exog, x0, Jbar = path_setup
+    records = []
+    solve = make_path_solver(Jbar, exog, model, ss, ss, method="boehl",
+                             eps=1e-30, max_outer=8, max_inner=40,
+                             direction_dtype=jnp.float32, direction_mode="xla",
+                             residual_mode="f64", host_inner=True,
+                             endgame="fd", verbose=True, records=records)
+    x, info = solve(x0)
+    out = capsys.readouterr().out
+    assert "switching to" in out            # the endgame engaged
+    assert np.isfinite(float(info["residual_norm"]))
+    assert float(info["residual_norm"]) < 1e-9
+    assert all(np.isfinite(r["residual_norm"]) for r in records)
+
+    with pytest.raises(ValueError):
+        make_path_solver(Jbar, exog, model, ss, ss, method="boehl",
+                         host_inner=True, endgame="bogus",
+                         direction_dtype=jnp.float32)(x0)
