@@ -14,7 +14,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hank_tpu.solvers.newton import make_full_residual_fn, newton_raphson_hank
+from hank_tpu.config import config
+from hank_tpu.ops.linalg import make_reusable_solver, rayleigh_quotient
+from hank_tpu.solvers.newton import (_boehl_alpha, make_full_residual_fn,
+                                     newton_raphson_hank)
 
 
 def residual_ensemble(x_batch: jnp.ndarray,
@@ -77,3 +80,141 @@ def solve_ensemble(x0: jnp.ndarray,
     else:
         fn = jax.jit(fn)
     return fn(x0, exog_batch)
+
+
+def solve_ensemble_host(x0: jnp.ndarray,
+                        Jbar: jnp.ndarray,
+                        exog_batch: Mapping[str, jnp.ndarray],
+                        model, ss_initial, ss_ending,
+                        mesh: Mesh | None = None,
+                        eps: float = 1e-8,
+                        max_outer: int | None = None,
+                        max_inner: int = 500,
+                        inner_eta: float = 1e-5,
+                        direction_dtype=jnp.float32,
+                        verbose: bool = False,
+                        records: list | None = None) -> tuple[jnp.ndarray, dict]:
+    """Batched Boehl solve with a HOST-driven outer loop (production path).
+
+    `solve_ensemble` traces the whole solver under vmap — nested while_loops
+    over the dual-precision program, which kernel-faults on v5e (the same
+    fault `make_path_solver(host_outer=True)` works around for single
+    paths). This variant is the batched analogue of host_inner: the host
+    drives the outer/inner Richardson iterations over three BATCHED compiled
+    programs — vmapped F, vmapped direction JVP, and the J̄⁻¹ application
+    (one (B, n) × (n, n) MXU GEMM — J̄ is shock-independent and shared).
+    All B paths iterate in lockstep; rows whose inner residual (or outer
+    norm) has converged are frozen with `where` masks so finished paths
+    don't wobble at the f32 direction-noise floor while stragglers finish.
+
+    x0: (n,) shared guess (broadcast) or (B, n). exog_batch leaves: (B, T-1).
+    With a mesh, the batch axis is dp-sharded (`NamedSharding(mesh, P("dp"))`)
+    through every compiled program; J̄ and the model are replicated.
+
+    Returns (x (B, n), info) with (B,)-shaped "residual_norm" plus scalar
+    "iterations" / "inner_iterations" (lockstep counts).
+    """
+    x_dtype = config.dtype
+    B = next(iter(exog_batch.values())).shape[0]
+    n = x0.shape[-1]
+    if x0.ndim == 1:
+        x0 = jnp.broadcast_to(x0, (B, n))
+    max_outer = max_outer or config.path_newton_max_iter
+
+    def F_one(x, ex):
+        return make_full_residual_fn(model, ss_initial, ss_ending, ex)(x)
+
+    solve_one = make_reusable_solver(Jbar)
+
+    if direction_dtype is not None and direction_dtype != x_dtype:
+        from hank_tpu.ops.precision import cast_model, cast_ss
+
+        m_lo = cast_model(model, direction_dtype)
+        s0_lo = cast_ss(ss_initial, direction_dtype)
+        sT_lo = cast_ss(ss_ending, direction_dtype)
+
+        def jvp_one(x, v, ex):
+            ex_lo = {k: p.astype(direction_dtype) for k, p in ex.items()}
+            F_lo = make_full_residual_fn(m_lo, s0_lo, sT_lo, ex_lo)
+            out = jax.jvp(F_lo, (x.astype(direction_dtype),),
+                          (v.astype(direction_dtype),))[1]
+            return out.astype(x_dtype)
+    else:
+        def jvp_one(x, v, ex):
+            return jax.jvp(lambda z: F_one(z, ex), (x,), (v,))[1]
+
+    F_b = jax.vmap(F_one)
+    jvp_b = jax.vmap(jvp_one)
+    solve_b = jax.vmap(solve_one)
+    ray_b = jax.vmap(rayleigh_quotient)
+
+    def inner_step(x, y, Fx, tol, ex):
+        """One lockstep Richardson sweep over all B paths."""
+        Lxy = jvp_b(x, y, ex)
+        R = solve_b(Fx - Lxy)
+        alpha = _boehl_alpha(ray_b(solve_b(Lxy), y))            # (B,)
+        rnorm = jnp.linalg.norm(R, axis=-1)                     # (B,)
+        upd = (rnorm > tol)[:, None]
+        return jnp.where(upd, y + alpha[:, None] * R, y), rnorm
+
+    def outer_update(x, y, Fx, fnorm, ex):
+        active = (fnorm > eps)[:, None]
+        x_new = jnp.where(active, x - y, x)
+        Fx_new = F_b(x_new, ex)
+        return x_new, Fx_new, jnp.linalg.norm(Fx_new, axis=-1)
+
+    if mesh is not None:
+        shard = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+        ex_sh = {k: shard for k in exog_batch}
+        inner_step = jax.jit(
+            inner_step,
+            in_shardings=(shard, shard, shard, shard, ex_sh),
+            out_shardings=(shard, shard))
+        outer_update = jax.jit(
+            outer_update,
+            in_shardings=(shard, shard, shard, shard, ex_sh),
+            out_shardings=(shard, shard, shard))
+        F_b0 = jax.jit(F_b, in_shardings=(shard, ex_sh), out_shardings=shard)
+        solve_b_j = jax.jit(solve_b, in_shardings=(shard,),
+                            out_shardings=shard)
+        del rep
+    else:
+        inner_step = jax.jit(inner_step)
+        outer_update = jax.jit(outer_update)
+        F_b0 = jax.jit(F_b)
+        solve_b_j = jax.jit(solve_b)
+
+    x = x0.astype(x_dtype)
+    y = jnp.zeros_like(x)
+    Fx = F_b0(x, exog_batch)
+    fnorm = jnp.linalg.norm(Fx, axis=-1)
+    iters = total_inner = 0
+    while bool((fnorm > eps).any()) and iters < max_outer:
+        tol = jnp.maximum(
+            inner_eta * jnp.linalg.norm(solve_b_j(Fx), axis=-1), 1e-300)
+        rnorm = jnp.full((B,), jnp.inf, dtype=x_dtype)
+        inner_its = 0
+        while bool((rnorm > tol).any()) and inner_its < max_inner:
+            y, rnorm = inner_step(x, y, Fx, tol, exog_batch)
+            inner_its += 1
+        x, Fx, fnorm = outer_update(x, y, Fx, fnorm, exog_batch)
+        if not bool(jnp.all(jnp.isfinite(fnorm))):
+            n_bad = int(jnp.sum(~jnp.isfinite(fnorm)))
+            raise FloatingPointError(
+                f"[ensemble_host] {n_bad}/{B} paths non-finite at outer "
+                f"iteration {iters + 1}")
+        iters += 1
+        total_inner += inner_its
+        n_conv = int(jnp.sum(fnorm <= eps))
+        if verbose:
+            print(f"[ensemble/host] outer {iters}: max|F| = "
+                  f"{float(fnorm.max()):.3e}, {n_conv}/{B} converged "
+                  f"(+{inner_its} sweeps)", flush=True)
+        if records is not None:
+            records.append({"iteration": iters,
+                            "max_residual_norm": float(fnorm.max()),
+                            "converged": n_conv,
+                            "inner_sweeps": inner_its})
+    return x, {"iterations": iters, "inner_iterations": total_inner,
+               "residual_norm": fnorm}

@@ -84,3 +84,45 @@ def test_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_solve_ensemble_host_matches_per_path(ks_small, ks_small_ss):
+    """Host-driven batched Boehl (the v5e production path — the fully-traced
+    variant kernel-faults on hardware) matches standalone per-path solves
+    and shards the batch axis across the mesh."""
+    from hank_tpu.parallel.ensemble import solve_ensemble_host
+    from hank_tpu.parallel.mesh import make_mesh
+    from hank_tpu.solvers.ss_jacobian import get_steady_state_jacobian
+    from hank_tpu.solvers.newton import newton_raphson_hank
+
+    model, ss = ks_small, ks_small_ss
+    T = model.compspec.T
+    Tm1 = T - 1
+    B = 8
+    t = jnp.arange(1, T, dtype=jnp.float64)
+    rhos = 0.5 + 0.4 * jnp.arange(B, dtype=jnp.float64) / B
+    exog_b = {"Z": 1.0 + 0.05 * rhos[:, None] ** t[None, :]}
+    x0 = jnp.tile(jnp.asarray(
+        [ss.vars[k] for k in model.vars_of_type("endogenous")]), Tm1)
+    Jbar = get_steady_state_jacobian(ss, model)
+
+    mesh = make_mesh(8)
+    records = []
+    x_paths, info = solve_ensemble_host(x0, Jbar, exog_b, model, ss, ss,
+                                        mesh=mesh, eps=1e-9, records=records)
+    assert x_paths.shape == (B, x0.shape[0])
+    assert bool(jnp.all(info["residual_norm"] < 1e-9))
+    assert len(x_paths.sharding.device_set) == 8
+    assert records and records[-1]["converged"] == B
+
+    for i in (0, 5):
+        x_one, _ = newton_raphson_hank(
+            x0, Jbar, {"Z": exog_b["Z"][i]}, model, ss, ss,
+            method="boehl", eps=1e-9, direction_dtype=jnp.float32,
+            direction_mode="xla")
+        assert float(jnp.max(jnp.abs(x_paths[i] - x_one))) < 1e-7
+
+    # Unmeshed variant agrees too (single-device batched programs).
+    x_nm, info_nm = solve_ensemble_host(x0, Jbar, exog_b, model, ss, ss,
+                                        eps=1e-9)
+    assert float(jnp.max(jnp.abs(x_nm - x_paths))) < 1e-8
