@@ -63,6 +63,17 @@ class Config:
 
 config = Config()
 
+# Division-guard epsilon for IN-GRAPH code. NOT 1e-300: axon's TPU f64 is
+# emulated with f32 pairs, whose exponent range ends at ~1.18e-38 — a 1e-300
+# literal silently underflows to 0.0 ON DEVICE, turning `x / max(x, 1e-300)`
+# guards into 0/0 = NaN when x == 0 (observed: rayleigh_quotient at the
+# boehl endgame's y = 0 restart NaN'd the whole two-asset path on v5e while
+# the identical program was finite in native f64 on CPU). 1e-36 is inside
+# the emulated range and still far below every meaningful f64 magnitude in
+# the solvers (norms/dots bottom out around 1e-28). Host-side python floats
+# (`max(x, 1e-300)`) are unaffected and may keep the smaller literal.
+TINY = 1e-36
+
 
 def default_dtype() -> jnp.dtype:
     return config.dtype

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import lu_factor, lu_solve
 
-from hank_tpu.config import config
+from hank_tpu.config import TINY, config
 
 
 def _ruiz_scales(A: jnp.ndarray, sweeps: int = 6):
@@ -179,7 +179,7 @@ def make_invariant_solver(apply_fn, *, eps: float = 1e-13,
             x, diff_prev, _, it = carry
             x_new = step(x)
             diff = jnp.max(jnp.abs(x_new - x))
-            lam = jnp.clip(diff / jnp.maximum(diff_prev, 1e-300), 0.0, 0.995)
+            lam = jnp.clip(diff / jnp.maximum(diff_prev, TINY), 0.0, 0.995)
             do_ex = (it % 20 == 19) & (it > 40)
 
             # SAFEGUARDED Aitken: a max-norm ratio cannot distinguish an
@@ -303,7 +303,7 @@ def gmres_matfree(matvec: Callable[[jnp.ndarray], jnp.ndarray],
             Hm, g = Hg
             a, c_ = Hm[j, j], Hm[j + 1, j]
             r = jnp.sqrt(a * a + c_ * c_)
-            safe = jnp.maximum(r, 1e-300)
+            safe = jnp.maximum(r, TINY)
             cs = jnp.where(r > 0, a / safe, 1.0)
             sn = jnp.where(r > 0, c_ / safe, 0.0)
             row_j = cs * Hm[j] + sn * Hm[j + 1]
@@ -316,7 +316,7 @@ def gmres_matfree(matvec: Callable[[jnp.ndarray], jnp.ndarray],
 
         R, g = jax.lax.fori_loop(0, m, rotate, (H, g))
         diag = jnp.diagonal(R[:m, :])
-        good = jnp.abs(diag) > 1e-300
+        good = jnp.abs(diag) > TINY
 
         def back_sub(i, y):
             j = m - 1 - i
@@ -332,7 +332,7 @@ def gmres_matfree(matvec: Callable[[jnp.ndarray], jnp.ndarray],
         r = bhat - Ahat(x)
         beta = jnp.linalg.norm(r)
         V0 = jnp.zeros((m + 1, n), dtype).at[0].set(
-            r / jnp.maximum(beta, 1e-300))
+            r / jnp.maximum(beta, TINY))
         H0 = jnp.zeros((m + 1, m), dtype)
 
         def arnoldi(j, VH):
@@ -348,12 +348,12 @@ def gmres_matfree(matvec: Callable[[jnp.ndarray], jnp.ndarray],
             hn = jnp.linalg.norm(w)
             # Happy breakdown (the Krylov space is exhausted — always hit
             # when restart exceeds the operator's dimension): dividing the
-            # ~0 remainder by max(hn, 1e-300) fills the basis with garbage
+            # ~0 remainder by max(hn, eps) fills the basis with garbage
             # that poisons H. Emit a ZERO basis vector instead: A·0 = 0 for
             # a linear operator, so every later column stays zero and the
             # Givens least-squares pins their y entries to 0.
-            ok = hn > 1e-12 * jnp.maximum(jnp.linalg.norm(h), 1e-300)
-            V = V.at[j + 1].set(jnp.where(ok, w / jnp.maximum(hn, 1e-300),
+            ok = hn > 1e-12 * jnp.maximum(jnp.linalg.norm(h), TINY)
+            V = V.at[j + 1].set(jnp.where(ok, w / jnp.maximum(hn, TINY),
                                           jnp.zeros_like(w)))
             H = H.at[:, j].set(h).at[j + 1, j].set(jnp.where(ok, hn, 0.0))
             return V, H
@@ -379,5 +379,10 @@ def gmres_matfree(matvec: Callable[[jnp.ndarray], jnp.ndarray],
 def rayleigh_quotient(My: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """⟨y, M y⟩ / ⟨y, y⟩ given the precomputed product M y
     (`GeneralStructures.jl:559-561`; drives Boehl step-size adaptation in
-    `solvers/newton.py`). Guarded against y = 0 (first inner iteration)."""
-    return jnp.dot(y, My) / jnp.maximum(jnp.dot(y, y), 1e-300)
+    `solvers/newton.py`). Guarded against y = 0 (first inner iteration) with
+    the double-where pattern: a `max(·, eps)` guard relies on the eps literal
+    being representable ON DEVICE, and axon's emulated f64 underflows
+    anything below ~1e-38 to zero (0/0 = NaN — see `config.TINY`)."""
+    den = jnp.dot(y, y)
+    pos = den > 0
+    return jnp.where(pos, jnp.dot(y, My) / jnp.where(pos, den, 1.0), 0.0)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hank_tpu.config import config
+from hank_tpu.config import TINY, config
 from hank_tpu.ops.linalg import make_reusable_solver, rayleigh_quotient
 from hank_tpu.solvers.newton import (_boehl_alpha, make_full_residual_fn,
                                      newton_raphson_hank)
@@ -192,7 +192,7 @@ def solve_ensemble_host(x0: jnp.ndarray,
     iters = total_inner = 0
     while bool((fnorm > eps).any()) and iters < max_outer:
         tol = jnp.maximum(
-            inner_eta * jnp.linalg.norm(solve_b_j(Fx), axis=-1), 1e-300)
+            inner_eta * jnp.linalg.norm(solve_b_j(Fx), axis=-1), TINY)
         rnorm = jnp.full((B,), jnp.inf, dtype=x_dtype)
         inner_its = 0
         while bool((rnorm > tol).any()) and inner_its < max_inner:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from hank_tpu.blocks.assemble import assemble_full_xmat, residuals as eval_residuals
 from hank_tpu.blocks.backward import backward_iteration
 from hank_tpu.blocks.forward import forward_iteration
-from hank_tpu.config import config
+from hank_tpu.config import TINY, config
 from hank_tpu.ops.linalg import (dense_solve, gmres_matfree,
                                  make_reusable_solver, rayleigh_quotient)
 
@@ -316,7 +316,7 @@ def make_path_solver(
 
         def y_iteration(x, y0, Fx):
             R0_norm = jnp.linalg.norm(solve_jbar(Fx))
-            tol = jnp.maximum(inner_eta * R0_norm, 1e-300)
+            tol = jnp.maximum(inner_eta * R0_norm, TINY)
 
             def cond(carry):
                 _, rnorm, it = carry
@@ -547,7 +547,7 @@ def make_path_solver(
                 # after a handful of JVP sweeps instead of over-solving a
                 # linear model that Newton discards anyway.
                 eta = jnp.clip(0.9 * (fnorm / fnorm_prev) ** 2, gmres_tol, 0.5)
-                eta = jnp.maximum(eta, 0.1 * eps / jnp.maximum(fnorm, 1e-300))
+                eta = jnp.maximum(eta, 0.1 * eps / jnp.maximum(fnorm, TINY))
                 A = lambda v: jvp_dir(x, v)  # noqa: E731
                 d, _ = gmres_matfree(
                     A, Fx, x0=solve_jbar(Fx), M=precond,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hank_tpu.config import config
+from hank_tpu.config import TINY, config
 from hank_tpu.blocks.assemble import residuals as eval_residuals
 from hank_tpu.ops.linalg import dense_solve, invariant_dist_colstoch
 from hank_tpu.ops.transition import dense_full_transition
@@ -95,7 +95,7 @@ def make_vfi_solver(model) -> Callable[[jnp.ndarray], jnp.ndarray]:
             v, diff_prev, _, it = carry
             v_new = step(v)
             diff = jnp.max(jnp.abs(v_new - v))
-            lam = jnp.clip(diff / jnp.maximum(diff_prev, 1e-300), 0.0, 0.995)
+            lam = jnp.clip(diff / jnp.maximum(diff_prev, TINY), 0.0, 0.995)
             do_ex = (it % 20 == 19) & (it > 40)
 
             # SAFEGUARDED Aitken (same scheme as ops/linalg._accel_fixed_point):

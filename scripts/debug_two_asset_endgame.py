@@ -42,25 +42,41 @@ jvp32 = jax.jit(lambda x, v: jax.jvp(
     F32, (x.astype(jnp.float32),), (v.astype(jnp.float32),))[1]
     .astype(jnp.float64))
 
+def first_bad(v):
+    bad = np.flatnonzero(~np.isfinite(np.asarray(v)))
+    if bad.size == 0:
+        return None
+    i = int(bad[0])
+    return f"idx {i} = t{i // n_endog}/{endog[i % n_endog]} ({bad.size} bad)"
+
+
 FLOOR = "/tmp/hank2_floor.npy"
 if os.path.exists(FLOOR):
     x = jnp.asarray(np.load(FLOOR))
     print("loaded floor iterate", flush=True)
 else:
-    # f32 phase to the floor (5 outers, as measured).
-    x, y = x0, jnp.zeros_like(x0)
+    # f32 phase to the floor (5 outers, as measured). y0 = x0 exactly as
+    # the production run loop (y = 0 is NOT equivalent: see endgame below).
+    x, y = x0, x0
     Fx = F_j(x)
     best, x_best = float(jnp.linalg.norm(Fx)), x
     for outer in range(5):
         tol = max(1e-5 * float(jnp.linalg.norm(solve_j(Fx))), 1e-300)
         rnorm, it = float("inf"), 0
-        while rnorm > tol and it < 200:
+        while rnorm > tol and it < 100:
             Lxy = jvp32(x, y)
             R = solve_j(Fx - Lxy)
-            alpha = _boehl_alpha(rayleigh_quotient(solve_j(Lxy), y))
+            ray = rayleigh_quotient(solve_j(Lxy), y)
+            alpha = _boehl_alpha(ray)
             y = y + alpha * R
             rnorm = float(jnp.linalg.norm(R))
             it += 1
+            print(f"  [f32 o{outer+1} s{it}] rnorm={rnorm:.3e} "
+                  f"|y|={float(jnp.linalg.norm(y)):.3e} "
+                  f"ray={float(ray):.3e} a={float(alpha):.3f}", flush=True)
+            if not np.isfinite(rnorm):
+                print(f"  f32 NaN: Lxy bad: {first_bad(Lxy)}", flush=True)
+                break
         x = x - y
         Fx = F_j(x)
         fn = float(jnp.linalg.norm(Fx))
@@ -90,14 +106,6 @@ def jvp_fd(x, v):
         print(f"  !! F at perturbed point non-finite (plus={fp}, minus={fm})",
               flush=True)
     return (Fp - Fm) * (vn / (2.0 * fd_h))
-
-
-def first_bad(v):
-    bad = np.flatnonzero(~np.isfinite(np.asarray(v)))
-    if bad.size == 0:
-        return None
-    i = int(bad[0])
-    return f"idx {i} = t{i // n_endog}/{endog[i % n_endog]} ({bad.size} bad)"
 
 
 # Endgame: two outers max, verbose per sweep.

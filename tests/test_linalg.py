@@ -68,3 +68,26 @@ def test_reusable_solver_many_rhs():
         b = rng.normal(size=30)
         x = np.asarray(solve(jnp.asarray(b)))
         assert np.max(np.abs(A @ x - b)) < 1e-11
+
+
+def test_rayleigh_quotient_zero_y_is_zero():
+    """y = 0 (the boehl endgame's restart) must give ray = 0, alpha = 1 —
+    and must NOT rely on a sub-f32-range guard literal: axon's emulated f64
+    underflows 1e-300 to zero on device, so the old max(dot, 1e-300) guard
+    produced 0/0 = NaN and NaN'd the whole two-asset endgame on v5e."""
+    import jax.numpy as jnp
+
+    from hank_tpu.config import TINY
+    from hank_tpu.ops.linalg import rayleigh_quotient
+    from hank_tpu.solvers.newton import _boehl_alpha
+
+    y = jnp.zeros(7, dtype=jnp.float64)
+    ray = rayleigh_quotient(jnp.zeros(7, dtype=jnp.float64), y)
+    assert float(ray) == 0.0
+    assert float(_boehl_alpha(ray)) == 1.0
+    # The shared guard constant stays inside the emulated-f64 (f32 exponent)
+    # range so it cannot silently flush to zero on device.
+    assert TINY >= 1.2e-38
+    # Nonzero y unchanged by the guard rewrite.
+    y2 = jnp.asarray([1.0, 2.0]); My2 = jnp.asarray([3.0, 4.0])
+    assert abs(float(rayleigh_quotient(My2, y2)) - 11.0 / 5.0) < 1e-15
