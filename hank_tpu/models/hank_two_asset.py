@@ -103,6 +103,25 @@ def access_process(n: int = 2, lam: float = 0.1):
     return grid, Pi
 
 
+def _crra_inv_marg(W, gamma):
+    """W**(-1/γ) — exact algebraic form at γ = 2 (rsqrt + one Newton polish,
+    < 1 ulp) instead of generic pow. TPU f32 pow lowers to exp2(y·log2 x)
+    with ~2e-6 relative error, which was a dominant direction-noise source
+    for the two-asset XLA jvp sweeps (f32-direction floor ‖F‖ ≈ 8e-7 on
+    v5e; CPU f32, whose libm pow is near-exact, reached 3e-9)."""
+    if float(gamma) == 2.0:
+        y = jax.lax.rsqrt(W)
+        return y * (1.5 - 0.5 * W * y * y)
+    return W ** (-1.0 / gamma)
+
+
+def _crra_marg(c, gamma):
+    """c**(-γ) — exact at γ = 2 (multiply + divide)."""
+    if float(gamma) == 2.0:
+        return 1.0 / (c * c)
+    return c ** (-gamma)
+
+
 def _interp_val_slope(W: jnp.ndarray, grid: jnp.ndarray, q: jnp.ndarray, axis: int):
     """Piecewise-linear value and slope of W along `axis` at queries q
     (q broadcastable to W's shape with `axis` replaced by q's own axis).
@@ -256,7 +275,6 @@ def ValueFunction(value_next, xvals, model):
 
     p = model.params
     beta, gamma = p["β"], p["γ"]
-    inv_g = -1.0 / gamma
     r = xvals["r"]
     ra = xvals["ra"]
     tau = xvals["tau"]
@@ -281,7 +299,7 @@ def ValueFunction(value_next, xvals, model):
     Wb_n, _ = interp_vs(Wb, agrid,
                                 jnp.broadcast_to(a_next[None, :, None],
                                                  (n_b, n_a, n_e)), axis=1)
-    c_end_n = Wb_n ** inv_g
+    c_end_n = _crra_inv_marg(Wb_n, gamma)
     implied_b = (c_end_n + bgrid[:, None, None] - inc_n) / (1.0 + r)
     flat = lambda z: z.reshape(n_b, n_a * n_e)                  # noqa: E731
     pol_b_n = interp_columns(
@@ -372,7 +390,7 @@ def ValueFunction(value_next, xvals, model):
     # corner the marginal unit goes to the better asset.
     W_s = jnp.maximum(wb_s, wa_s)                               # (n_s, n_e)
 
-    c_end_s = W_s ** inv_g
+    c_end_s = _crra_inv_marg(W_s, gamma)
     w_knots = c_end_s + s2                                      # (n_s, n_e), increasing
 
     # On-grid cash-on-hand and savings policy via the endogenous w-grid.
@@ -394,8 +412,8 @@ def ValueFunction(value_next, xvals, model):
     c_a = c_a.reshape(n_b, n_a, n_e)
 
     # ── Envelopes + assembly over the access axis ──────────────────────────
-    up_n = c_n ** (-gamma)
-    up_a = c_a ** (-gamma)
+    up_n = _crra_marg(c_n, gamma)
+    up_a = _crra_marg(c_a, gamma)
     # No access: the marginal illiquid unit accrues to (1+ra) units of a'
     # below the cap (continuation value W_a at (b', a')); at the cap
     # da'/da = 0 and the no-access margin is worthless (the access branch,

@@ -127,6 +127,10 @@ def solve_ensemble_host(x0: jnp.ndarray,
     solve_one = make_reusable_solver(Jbar)
 
     if direction_dtype is not None and direction_dtype != x_dtype:
+        from hank_tpu.blocks.assemble import assemble_full_xmat
+        from hank_tpu.blocks.assemble import residuals as eval_residuals
+        from hank_tpu.blocks.backward import backward_iteration
+        from hank_tpu.blocks.forward import forward_iteration
         from hank_tpu.ops.precision import cast_model, cast_ss
 
         m_lo = cast_model(model, direction_dtype)
@@ -134,9 +138,22 @@ def solve_ensemble_host(x0: jnp.ndarray,
         sT_lo = cast_ss(ss_ending, direction_dtype)
 
         def jvp_one(x, v, ex):
+            # Mixed-tail direction map — scans at direction_dtype, the
+            # cheap assemble/residual tail in full precision (same design
+            # and rationale as solvers/newton.py's F_dir).
             ex_lo = {k: p.astype(direction_dtype) for k, p in ex.items()}
-            F_lo = make_full_residual_fn(m_lo, s0_lo, sT_lo, ex_lo)
-            out = jax.jvp(F_lo, (x.astype(direction_dtype),),
+
+            def F_dir(x_lo):
+                pols = backward_iteration(x_lo, ex_lo, m_lo, sT_lo.vars,
+                                          sT_lo.value)
+                aggs = forward_iteration(pols, m_lo, s0_lo.D)
+                aggs_hi = {k: a.astype(x_dtype) for k, a in aggs.items()}
+                x_mat = assemble_full_xmat(x_lo.astype(x_dtype), aggs_hi,
+                                           ex, model,
+                                           ss_initial.vars, ss_ending.vars)
+                return eval_residuals(x_mat, model)
+
+            out = jax.jvp(F_dir, (x.astype(direction_dtype),),
                           (v.astype(direction_dtype),))[1]
             return out.astype(x_dtype)
     else:

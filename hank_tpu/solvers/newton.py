@@ -284,11 +284,28 @@ def make_path_solver(
         else:
             from hank_tpu.ops.precision import cast_model, cast_paths, cast_ss
 
-            F_dir = make_full_residual_fn(
-                cast_model(model, direction_dtype),
-                cast_ss(ss_initial, direction_dtype),
-                cast_ss(ss_ending, direction_dtype),
-                cast_paths(exog_paths, direction_dtype))
+            m_lo = cast_model(model, direction_dtype)
+            s0_lo = cast_ss(ss_initial, direction_dtype)
+            sT_lo = cast_ss(ss_ending, direction_dtype)
+            ex_lo = cast_paths(exog_paths, direction_dtype)
+
+            # Mixed-tail direction map: the household scans (all the FLOPs)
+            # run at direction_dtype, but the assemble/residual tail — a few
+            # n_v × T scalar equations with pow()s (K^α prices, market
+            # clearing) — is promoted back to full precision. TPU f32 pow
+            # lowers to exp2(y·log2 x) with ~2e-6 relative error, which
+            # otherwise caps the achievable direction accuracy (measured as
+            # the two-asset f32-direction floor at ‖F‖ ≈ 8e-7 on v5e); the
+            # tail costs O(n_v·T) — nothing next to the scans.
+            def F_dir(x_lo):
+                pols = backward_iteration(x_lo, ex_lo, m_lo, sT_lo.vars,
+                                          sT_lo.value)
+                aggs = forward_iteration(pols, m_lo, s0_lo.D)
+                aggs_hi = {k: v.astype(x_dtype) for k, v in aggs.items()}
+                x_mat = assemble_full_xmat(x_lo.astype(x_dtype), aggs_hi,
+                                           exog_paths, model,
+                                           ss_initial.vars, ss_ending.vars)
+                return eval_residuals(x_mat, model)
 
             def jvp_dir(x, v):
                 out = jax.jvp(F_dir, (x.astype(direction_dtype),),
