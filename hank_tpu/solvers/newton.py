@@ -21,6 +21,7 @@ Everything runs on-device under one `jit`: the outer and inner loops are
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Mapping
 
 import jax
@@ -58,8 +59,6 @@ def _check_finite(fnorm: float, method: str, iteration: int, x: jnp.ndarray) -> 
     unconditionally — a silently-returned NaN path is useless, and with
     strict-descent backtracking a non-finite norm here means even the
     INITIAL residual was non-finite."""
-    import math
-
     if not math.isfinite(fnorm):
         n_bad = int(jnp.sum(~jnp.isfinite(x)))
         raise FloatingPointError(
@@ -403,7 +402,6 @@ def make_path_solver(
             fd_h = 1e-5
 
             def jvp_fd(x, v):
-                import math
                 vn = float(jnp.linalg.norm(v))
                 if vn == 0.0 or not math.isfinite(vn):
                     return jnp.zeros_like(x)
@@ -427,13 +425,31 @@ def make_path_solver(
                     tol = max(inner_eta * float(jnp.linalg.norm(solve_j(Fx))),
                               1e-300)
                     rnorm, inner_its = float("inf"), 0
+                    best_r, y_best_in = float("inf"), y
                     while rnorm > tol and inner_its < max_inner:
                         Lxy = jvp_use(x, y)
                         R = solve_j(Fx - Lxy)
+                        rnew = float(jnp.linalg.norm(R))
+                        if rnew < best_r:
+                            best_r, y_best_in = rnew, y
+                        elif (not math.isfinite(rnew)
+                              or rnew > 10.0 * max(best_r, tol)):
+                            # Inner Richardson divergence: at a kinked
+                            # residual's noise floor the preconditioned
+                            # operator can be indefinite along y (measured
+                            # two-asset: Rayleigh quotients in [-2.3, -0.3]
+                            # at the f32 floor point), which Richardson
+                            # cannot contract at any step size. Keep the
+                            # best inner iterate instead of spinning to
+                            # overflow/NaN; the outer stall logic then
+                            # settles at the achievable floor.
+                            y = y_best_in
+                            rnorm = rnew
+                            break
                         alpha = _boehl_alpha(
                             rayleigh_quotient(solve_j(Lxy), y))
                         y = y + alpha * R
-                        rnorm = float(jnp.linalg.norm(R))
+                        rnorm = rnew
                         inner_its += 1
                     if not bool(jnp.all(jnp.isfinite(y))):
                         # Non-finite direction. If it came from the AD
