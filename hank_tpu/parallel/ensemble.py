@@ -206,32 +206,69 @@ def solve_ensemble_host(x0: jnp.ndarray,
     y = jnp.zeros_like(x)
     Fx = F_b0(x, exog_batch)
     fnorm = jnp.linalg.norm(Fx, axis=-1)
+    # Per-path resilience — the batched analogue of the single-path
+    # host_inner guards in solvers/newton.py: keep the best iterate per
+    # path, revert non-finite rows to it, and freeze rows that have
+    # genuinely stalled, so one infeasible shock draw (e.g. a tail draw
+    # that pushes r < -1 mid-path) cannot poison or hard-fail the other
+    # B-1 paths. Frozen rows are reported unconverged in the info dict.
+    x_best, F_best, f_best = x, Fx, fnorm
+    since_improve = jnp.zeros((B,), dtype=jnp.int32)
+    frozen = ~jnp.isfinite(fnorm)
     iters = total_inner = 0
-    while bool((fnorm > eps).any()) and iters < max_outer:
+    while bool(((fnorm > eps) & ~frozen).any()) and iters < max_outer:
         tol = jnp.maximum(
             inner_eta * jnp.linalg.norm(solve_b_j(Fx), axis=-1), TINY)
         rnorm = jnp.full((B,), jnp.inf, dtype=x_dtype)
+        best_r = jnp.full((B,), jnp.inf, dtype=x_dtype)
+        y_best = y
+        diverged = jnp.zeros((B,), dtype=bool)
         inner_its = 0
-        while bool((rnorm > tol).any()) and inner_its < max_inner:
+        while (bool(((rnorm > tol) & ~diverged).any())
+               and inner_its < max_inner):
+            y_prev = y
             y, rnorm = inner_step(x, y, Fx, tol, exog_batch)
+            improved_r = rnorm < best_r
+            y_best = jnp.where(improved_r[:, None], y_prev, y_best)
+            best_r = jnp.minimum(best_r, rnorm)
+            diverged = (diverged | ~jnp.isfinite(rnorm)
+                        | (rnorm > 10.0 * jnp.maximum(best_r, tol)))
             inner_its += 1
-        x, Fx, fnorm = outer_update(x, y, Fx, fnorm, exog_batch)
-        if not bool(jnp.all(jnp.isfinite(fnorm))):
-            n_bad = int(jnp.sum(~jnp.isfinite(fnorm)))
-            raise FloatingPointError(
-                f"[ensemble_host] {n_bad}/{B} paths non-finite at outer "
-                f"iteration {iters + 1}")
+        # Inner Richardson divergence (indefinite preconditioned operator
+        # at a kink or noise floor): keep that row's best inner iterate.
+        y = jnp.where(diverged[:, None], y_best, y)
+        x_new, Fx_new, fn_new = outer_update(x, y, Fx, fnorm, exog_batch)
+        bad = ~jnp.isfinite(fn_new)
+        x = jnp.where(frozen[:, None], x,
+                      jnp.where(bad[:, None], x_best, x_new))
+        Fx = jnp.where(frozen[:, None], Fx,
+                       jnp.where(bad[:, None], F_best, Fx_new))
+        fnorm = jnp.where(frozen, fnorm, jnp.where(bad, f_best, fn_new))
+        y = jnp.where((bad | frozen)[:, None], jnp.zeros_like(y), y)
+        since_improve = jnp.where(fnorm < 0.5 * f_best, 0, since_improve + 1)
+        improved = fnorm < f_best
+        x_best = jnp.where(improved[:, None], x, x_best)
+        F_best = jnp.where(improved[:, None], Fx, F_best)
+        f_best = jnp.where(improved, fnorm, f_best)
+        frozen = frozen | (since_improve >= 4)
         iters += 1
         total_inner += inner_its
         n_conv = int(jnp.sum(fnorm <= eps))
+        n_stall = int(jnp.sum(frozen & (fnorm > eps)))
         if verbose:
             print(f"[ensemble/host] outer {iters}: max|F| = "
-                  f"{float(fnorm.max()):.3e}, {n_conv}/{B} converged "
+                  f"{float(jnp.where(frozen, 0.0, fnorm).max()):.3e}, "
+                  f"{n_conv}/{B} converged, {n_stall} stalled "
                   f"(+{inner_its} sweeps)", flush=True)
         if records is not None:
             records.append({"iteration": iters,
                             "max_residual_norm": float(fnorm.max()),
                             "converged": n_conv,
+                            "stalled": n_stall,
                             "inner_sweeps": inner_its})
+    better = f_best < fnorm
+    x = jnp.where(better[:, None], x_best, x)
+    fnorm = jnp.where(better, f_best, fnorm)
     return x, {"iterations": iters, "inner_iterations": total_inner,
-               "residual_norm": fnorm}
+               "residual_norm": fnorm,
+               "stalled_paths": int(jnp.sum(frozen & (fnorm > eps)))}

@@ -26,6 +26,7 @@ from typing import Callable, Mapping
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hank_tpu.blocks.assemble import assemble_full_xmat, residuals as eval_residuals
 from hank_tpu.blocks.backward import backward_iteration
@@ -79,6 +80,54 @@ def _boehl_alpha(ray: jnp.ndarray) -> jnp.ndarray:
     `alphaUpdate` stub (`NewtonRaphson.jl:117-120`).
     """
     return jnp.clip(1.0 / jnp.maximum(ray, 1.0), 0.05, 1.0)
+
+
+def _host_pgmres(apply_A, b, m: int, tol: float):
+    """Host-driven GMRES on compiled matvecs (Arnoldi/MGS, numpy f64 LS).
+
+    Solves A·dx = b to relative tolerance `tol` with at most `m` matvecs.
+    Used by the host_inner boehl endgame: unlike the Richardson y-iteration,
+    GMRES contracts even when the preconditioned operator is INDEFINITE
+    along the current direction — which is exactly what happens at a kinked
+    residual's f32 noise floor (measured two-asset at the floor point:
+    Rayleigh quotients of J̄⁻¹J in [-2.3, -0.3], where Richardson diverges
+    at any step size). The Krylov basis lives on device; the (m+1, m)
+    Hessenberg least-squares runs on the host in numpy f64 (no normal
+    equations, no conditioning squaring).
+
+    Returns (dx, rel_residual, matvecs); dx is None if a matvec came back
+    non-finite (caller escalates to a more robust operator).
+    """
+    bn = float(jnp.linalg.norm(b))
+    if bn == 0.0 or not math.isfinite(bn):
+        return None, float("inf"), 0
+    V = [b / bn]
+    H = np.zeros((m + 1, m))
+    y = np.zeros(0)
+    k = 0
+    rrel = float("inf")
+    for j in range(m):
+        w = apply_A(V[j])
+        for i in range(j + 1):
+            hij = float(jnp.vdot(V[i], w))
+            H[i, j] = hij
+            w = w - hij * V[i]
+        hn = float(jnp.linalg.norm(w))
+        if not (math.isfinite(hn) and all(math.isfinite(h) for h in H[:j + 2, j])):
+            return None, float("inf"), j + 1
+        H[j + 1, j] = hn
+        k = j + 1
+        e1 = np.zeros(k + 1)
+        e1[0] = bn
+        y, *_ = np.linalg.lstsq(H[:k + 1, :k], e1, rcond=None)
+        rrel = float(np.linalg.norm(H[:k + 1, :k] @ y - e1)) / bn
+        if hn < 1e-14 * bn or rrel < tol:
+            break
+        V.append(w / hn)
+    dx = V[0] * float(y[0])
+    for yi, Vi in zip(y[1:], V[1:k]):
+        dx = dx + float(yi) * Vi
+    return dx, rrel, k
 
 
 def newton_raphson_hank(
@@ -366,26 +415,28 @@ def make_path_solver(
             jvp_j = jax.jit(jvp_dir)
             solve_j = jax.jit(solve_jbar)
             F_j = jax.jit(F)
-            # Full-precision direction endgame: with f32 direction sweeps the
-            # Newton step carries ~1e-6-relative noise, so the outer residual
-            # wobbles at that floor instead of descending to eps (measured on
-            # the full-size two-asset T=300 path on v5e: outers 13-18 bounce
-            # in [1.35e-6, 2.4e-6]). When progress stalls above eps, switch
-            # the direction sweeps to full precision for the tail — the
-            # classic mixed-precision endgame, paid only for the last ~2-4
-            # outers. Two endgame operators:
-            #   "jvp" — AD through the full-precision pipeline (exact);
-            #   "fd"  — central difference of the full-precision residual,
-            #           J·v ≈ (F(x+hu) − F(x−hu))·|v|/(2h) with u = v/|v|.
+            # Endgame: with f32 direction sweeps the Newton step carries
+            # ~1e-6-relative noise, so the Richardson outer floors around
+            # 1e-6 instead of descending to eps (measured on the full-size
+            # two-asset T=300 path on v5e: outers 13-18 bounce in
+            # [1.35e-6, 2.4e-6]). Worse, at a KINKED residual's floor the
+            # preconditioned operator J̄⁻¹J can be indefinite along the
+            # iterate (measured two-asset: Rayleigh quotients in
+            # [-2.3, -0.3]) — Richardson then diverges at ANY step size and
+            # at ANY operator precision. The endgame therefore switches
+            # ALGORITHM, not just precision: host-driven preconditioned
+            # GMRES (`_host_pgmres`) with a backtracking line search, over
+            # an operator ladder escalated only when a step fails to
+            # descend:
+            #   1. the f32 direction jvp (already compiled, cheap);
+            #   2. "jvp" — AD through the full-precision pipeline, or
+            #      "fd"  — central difference of the full-precision
+            #      residual, J·v ≈ (F(x+hu) − F(x−hu))·|v|/(2h), u = v/|v|.
             # "fd" reuses the ALREADY-COMPILED residual program — no second
-            # 10-25 min remote AOT compile of an emulated-f64 AD program —
-            # and avoids emulated-f64 AD entirely (the f64 jvp of the
-            # two-asset pipeline returns non-finite tangents on v5e; the
-            # same program is finite in native f64 on CPU). Directional
-            # error ~ h²‖F‴‖ + ε₆₄‖F‖/h ≈ 1e-10 per unit tangent at
-            # h = 1e-5 — far below the 1e-5 inner forcing. endgame="auto"
-            # picks "fd" on TPU, "jvp" elsewhere; AD non-finiteness under
-            # "jvp" also falls back to "fd" mid-solve.
+            # 10-25 min remote AOT compile of an emulated-f64 AD program.
+            # FD directional error ~ h²‖F‴‖ + ε₆₄‖F‖/h ≈ 1e-10 per unit
+            # tangent at h = 1e-5. endgame="auto" picks "fd" on TPU, "jvp"
+            # elsewhere; non-finite matvecs escalate down the ladder.
             mixed = direction_dtype is not None and direction_dtype != x_dtype
             if endgame not in ("auto", "jvp", "fd"):
                 raise ValueError(f"unknown endgame {endgame!r}")
@@ -397,8 +448,7 @@ def make_path_solver(
                         if mixed else None)
             # FD must difference the PLAIN full-precision pipeline: the ds
             # kernel's ~3e-11 value noise would be amplified by 1/(2h).
-            F_fd = (F_j if not ds_active else jax.jit(F_pipeline)) if mixed \
-                else None
+            F_fd = F_j if not ds_active else jax.jit(F_pipeline)
             fd_h = 1e-5
 
             def jvp_fd(x, v):
@@ -409,40 +459,40 @@ def make_path_solver(
                 return (F_fd(x + fd_h * u)
                         - F_fd(x - fd_h * u)) * (vn / (2.0 * fd_h))
 
-            jvp_endgame = jvp_fd if endgame_mode == "fd" else jvp_full
+            # Operator ladder for the GMRES endgame, cheapest first (the
+            # non-mixed jvp_j is already full-precision AD).
+            ladder = [("f32", jvp_j)] if mixed else [("ad", jvp_j)]
+            if mixed and endgame_mode == "jvp" and jvp_full is not None:
+                ladder.append(("f64-ad", jvp_full))
+            ladder.append(("fd", jvp_fd))
 
             def run(x0):
                 x, y = x0, x0
                 Fx = F_j(x)
                 fnorm = float(jnp.linalg.norm(Fx))
                 iters = total_inner = 0
-                jvp_eg = jvp_endgame
-                jvp_use, full_dirs = jvp_j, not mixed
                 best = fnorm
                 since_improve = 0
                 x_best, F_best = x, Fx
+                # Phase 1: Richardson y-iteration with the cheap direction
+                # operator — fast global progress down to its noise floor.
                 while fnorm > eps and iters < max_outer:
                     tol = max(inner_eta * float(jnp.linalg.norm(solve_j(Fx))),
                               1e-300)
                     rnorm, inner_its = float("inf"), 0
                     best_r, y_best_in = float("inf"), y
                     while rnorm > tol and inner_its < max_inner:
-                        Lxy = jvp_use(x, y)
+                        Lxy = jvp_j(x, y)
                         R = solve_j(Fx - Lxy)
                         rnew = float(jnp.linalg.norm(R))
                         if rnew < best_r:
                             best_r, y_best_in = rnew, y
                         elif (not math.isfinite(rnew)
                               or rnew > 10.0 * max(best_r, tol)):
-                            # Inner Richardson divergence: at a kinked
-                            # residual's noise floor the preconditioned
-                            # operator can be indefinite along y (measured
-                            # two-asset: Rayleigh quotients in [-2.3, -0.3]
-                            # at the f32 floor point), which Richardson
-                            # cannot contract at any step size. Keep the
-                            # best inner iterate instead of spinning to
-                            # overflow/NaN; the outer stall logic then
-                            # settles at the achievable floor.
+                            # Inner Richardson divergence: keep the best
+                            # inner iterate instead of spinning to NaN;
+                            # the GMRES endgame below handles the
+                            # indefinite region.
                             y = y_best_in
                             rnorm = rnew
                             break
@@ -452,20 +502,7 @@ def make_path_solver(
                         rnorm = rnew
                         inner_its += 1
                     if not bool(jnp.all(jnp.isfinite(y))):
-                        # Non-finite direction. If it came from the AD
-                        # endgame, retry the tail with the FD operator from
-                        # the best iterate; otherwise surface it.
-                        if full_dirs and jvp_use is jvp_full:
-                            jvp_use = jvp_eg = jvp_fd
-                            x, Fx, fnorm = x_best, F_best, best
-                            y = jnp.zeros_like(x)
-                            since_improve = 0
-                            if verbose:
-                                print("[boehl/host] non-finite f64-AD "
-                                      "direction; switching to central-"
-                                      "difference sweeps", flush=True)
-                            continue
-                        _check_finite(float("nan"), "boehl", iters + 1, y)
+                        break                        # endgame from the best
                     x = x - y
                     Fx = F_j(x)
                     fnorm = float(jnp.linalg.norm(Fx))
@@ -478,18 +515,6 @@ def make_path_solver(
                         since_improve += 1
                     if fnorm < best:
                         best, x_best, F_best = fnorm, x, Fx
-                    if since_improve >= 2 and not full_dirs:
-                        full_dirs = True
-                        jvp_use = jvp_eg
-                        x, Fx = x_best, F_best       # restart from the best
-                        fnorm, y = best, jnp.zeros_like(y)
-                        since_improve = 0
-                        if verbose:
-                            print("[boehl/host] f32 direction floor at "
-                                  f"|F| = {best:.3e}; switching to "
-                                  "full-precision sweeps", flush=True)
-                    elif since_improve >= 4:
-                        break                        # genuine stall
                     if verbose:
                         print(f"[boehl/host] outer {iters}: |F| = {fnorm:.3e} "
                               f"(+{inner_its} sweeps)", flush=True)
@@ -497,6 +522,61 @@ def make_path_solver(
                         records.append({"iteration": iters,
                                         "residual_norm": fnorm,
                                         "inner_sweeps": inner_its})
+                    if since_improve >= 2:
+                        break                        # Richardson floor
+                # Phase 2: host-PGMRES Newton endgame from the best iterate
+                # (see the ladder comment above). Each outer solves
+                # J̄⁻¹J·dx = J̄⁻¹F by GMRES and backtracks on the TRUE
+                # residual norm; a step that fails to descend escalates the
+                # operator, and a stall on the top operator keeps the best.
+                if fnorm > eps:
+                    x, Fx, fnorm = x_best, F_best, best
+                    level = 0
+                    m_kry = min(40, x.shape[0])
+                    if verbose and iters:
+                        print(f"[boehl/host] Richardson floor at |F| = "
+                              f"{best:.3e}; GMRES endgame "
+                              f"({ladder[level][0]} operator)", flush=True)
+                    while fnorm > eps and iters < max_outer:
+                        name, op = ladder[level]
+                        dx, rrel, mv = _host_pgmres(
+                            lambda v: solve_j(op(x, v)), solve_j(Fx),
+                            m=m_kry, tol=1e-3)
+                        total_inner += mv
+                        iters += 1
+                        accepted = False
+                        if dx is not None and bool(
+                                jnp.all(jnp.isfinite(dx))):
+                            for s in (1.0, 0.5, 0.25, 0.1):
+                                xt = x - s * dx
+                                Ft = F_j(xt)
+                                fn = float(jnp.linalg.norm(Ft))
+                                if math.isfinite(fn) and fn < fnorm:
+                                    x, Fx, fnorm = xt, Ft, fn
+                                    accepted = True
+                                    break
+                        if accepted:
+                            if fnorm < best:
+                                best, x_best, F_best = fnorm, x, Fx
+                            if verbose:
+                                print(f"[boehl/host] endgame outer {iters}: "
+                                      f"|F| = {fnorm:.3e} ({name}, "
+                                      f"+{mv} matvecs, step {s})", flush=True)
+                            if records is not None:
+                                records.append({"iteration": iters,
+                                                "residual_norm": fnorm,
+                                                "inner_sweeps": mv,
+                                                "operator": name})
+                        else:
+                            if level + 1 < len(ladder):
+                                level += 1
+                                x, Fx, fnorm = x_best, F_best, best
+                                if verbose:
+                                    print("[boehl/host] no descent with "
+                                          f"{name} operator; escalating to "
+                                          f"{ladder[level][0]}", flush=True)
+                            else:
+                                break                # genuine stall
                 if best < fnorm:
                     x, fnorm = x_best, best
                 return x, {"iterations": iters, "inner_iterations": total_inner,

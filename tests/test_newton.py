@@ -194,8 +194,8 @@ def test_fd_direction_matches_jvp(path_setup):
 
 def test_boehl_host_inner_fd_endgame(path_setup, capsys):
     """endgame='fd' wiring: drive the f32-direction phase to its floor
-    (eps below reach), confirm the solver switches to central-difference
-    sweeps and stays finite/convergent rather than wobbling or NaN-ing."""
+    (eps below reach), confirm the solver enters the host-PGMRES endgame
+    and stays finite/convergent rather than wobbling or NaN-ing."""
     from hank_tpu.solvers.newton import make_path_solver
 
     model, ss, exog, x0, Jbar = path_setup
@@ -207,7 +207,7 @@ def test_boehl_host_inner_fd_endgame(path_setup, capsys):
                              endgame="fd", verbose=True, records=records)
     x, info = solve(x0)
     out = capsys.readouterr().out
-    assert "switching to" in out            # the endgame engaged
+    assert "GMRES endgame" in out           # the endgame engaged
     assert np.isfinite(float(info["residual_norm"]))
     assert float(info["residual_norm"]) < 1e-9
     assert all(np.isfinite(r["residual_norm"]) for r in records)

@@ -126,3 +126,35 @@ def test_solve_ensemble_host_matches_per_path(ks_small, ks_small_ss):
     x_nm, info_nm = solve_ensemble_host(x0, Jbar, exog_b, model, ss, ss,
                                         eps=1e-9)
     assert float(jnp.max(jnp.abs(x_nm - x_paths))) < 1e-8
+
+
+def test_solve_ensemble_host_survives_bad_path(ks_small, ks_small_ss):
+    """Per-path resilience: one infeasible shock draw (Z dips negative →
+    non-finite residual mid-solve) must not hard-fail or poison the other
+    paths — the bad row freezes at its best iterate and is reported in
+    `stalled_paths`, the rest converge to eps."""
+    from hank_tpu.parallel.ensemble import solve_ensemble_host
+    from hank_tpu.solvers.ss_jacobian import get_steady_state_jacobian
+
+    model, ss = ks_small, ks_small_ss
+    T = model.compspec.T
+    Tm1 = T - 1
+    B = 4
+    t = jnp.arange(1, T, dtype=jnp.float64)
+    Z = jnp.stack([
+        1.0 + 0.05 * 0.8 ** t,
+        1.0 + 0.08 * 0.6 ** t,
+        1.0 - 1.5 * 0.999 ** t,          # Z < 0: infeasible economy
+        1.0 + 0.03 * 0.9 ** t,
+    ])
+    x0 = jnp.tile(jnp.asarray(
+        [ss.vars[k] for k in model.vars_of_type("endogenous")]), Tm1)
+    Jbar = get_steady_state_jacobian(ss, model)
+
+    x_paths, info = solve_ensemble_host(x0, Jbar, {"Z": Z}, model, ss, ss,
+                                        eps=1e-9, max_outer=30)
+    assert x_paths.shape == (B, x0.shape[0])
+    good = jnp.asarray([0, 1, 3])
+    assert bool(jnp.all(info["residual_norm"][good] < 1e-9))
+    assert bool(jnp.all(jnp.isfinite(x_paths[good])))
+    assert info["stalled_paths"] >= 1
