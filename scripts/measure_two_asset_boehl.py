@@ -16,6 +16,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hank_tpu.models import load_model
 from hank_tpu.model.structures import generate_exog_paths
@@ -39,6 +40,7 @@ t1 = time.perf_counter()
 records.clear()
 x, info = solver(x0)
 jax.block_until_ready(x)
+np.save("/tmp/hank2_final_x.npy", np.asarray(x))   # for cross-backend checks
 print(json.dumps({"config": "hank2_T300_boehl_host_inner",
                   "cold_seconds": round(t1 - t0, 1),
                   "solve_seconds": round(time.perf_counter() - t1, 3),
