@@ -222,7 +222,7 @@ def solve_ensemble_host(x0: jnp.ndarray,
         rnorm = jnp.full((B,), jnp.inf, dtype=x_dtype)
         best_r = jnp.full((B,), jnp.inf, dtype=x_dtype)
         y_best = y
-        diverged = jnp.zeros((B,), dtype=bool)
+        diverged = frozen            # frozen rows sit out the inner loop too
         inner_its = 0
         while (bool(((rnorm > tol) & ~diverged).any())
                and inner_its < max_inner):
