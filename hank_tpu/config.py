@@ -77,3 +77,42 @@ TINY = 1e-36
 
 def default_dtype() -> jnp.dtype:
     return config.dtype
+
+
+# ── Exact-lowerings mode ────────────────────────────────────────────────────
+# XLA:TPU's emulated-f64 GEMM rounds at ~1.2e-10 relative (measured via
+# matmul/einsum probes, round 3) while elementwise/gather f64 ops round at
+# ~1e-15. A hat-basis GEMM contraction per Bellman step compounds that over
+# a T=300 backward recursion into ~6e-7 absolute policy deviations (the
+# two-asset TPU residual-floor post-mortem: F_tpu(x*) = 6.2e-6 where
+# F_cpu(x*) = 5.1e-11, BASELINE.md). Full-precision residual programs are
+# therefore built under `exact_lowerings()`: the interpolation gates
+# (ops/egm._interp_mode, models/hank_two_asset._use_hat_interp) then select
+# the exactly-rounded gather forms. The f32 DIRECTION sweeps keep the fast
+# hat GEMMs — direction noise perturbs only the step, never the answer.
+# The flag is read at TRACE time (the `with` executes inside the traced
+# residual body), so each jitted program latches its own mode.
+_EXACT_LOWERINGS = False
+
+
+def exact_lowerings_active() -> bool:
+    """True while tracing under `exact_lowerings()`."""
+    return _EXACT_LOWERINGS
+
+
+class exact_lowerings:
+    """Context manager: prefer exactly-rounded lowerings while tracing."""
+
+    def __init__(self, on: bool = True):
+        self.on = bool(on)
+
+    def __enter__(self):
+        global _EXACT_LOWERINGS
+        self.prev = _EXACT_LOWERINGS
+        _EXACT_LOWERINGS = self.on
+        return self
+
+    def __exit__(self, *exc):
+        global _EXACT_LOWERINGS
+        _EXACT_LOWERINGS = self.prev
+        return False

@@ -211,6 +211,13 @@ def _use_hat_interp() -> bool:
     """
     import os
 
+    from hank_tpu.config import exact_lowerings_active
+
+    if exact_lowerings_active():
+        # Full-precision residual program: the gather form rounds at
+        # ~1e-15 where the hat GEMMs round at ~1.2e-10/step on TPU
+        # emulated f64 (see config.exact_lowerings).
+        return False
     env = os.environ.get("HANK_TPU_BILINEAR")
     if env:
         if env not in ("hat", "gather"):

@@ -29,6 +29,13 @@ def _interp_mode(n_k: int) -> str:
     On CPU (and for large grids) the 4-gathers form is O(n_q log n_k) and
     wins. `HANK_TPU_INTERP` ∈ {hat, gather} overrides for A/B probes.
     """
+    from hank_tpu.config import exact_lowerings_active
+
+    if exact_lowerings_active():
+        # Full-precision residual program: gathers round at ~1e-15 where
+        # the hat-basis einsum rounds at ~1.2e-10/step on TPU emulated f64
+        # (see config.exact_lowerings).
+        return "gather"
     env = os.environ.get("HANK_TPU_INTERP")
     if env:
         if env not in ("hat", "gather"):

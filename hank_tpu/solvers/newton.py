@@ -31,26 +31,36 @@ import numpy as np
 from hank_tpu.blocks.assemble import assemble_full_xmat, residuals as eval_residuals
 from hank_tpu.blocks.backward import backward_iteration
 from hank_tpu.blocks.forward import forward_iteration
-from hank_tpu.config import TINY, config
+from hank_tpu.config import TINY, config, exact_lowerings
 from hank_tpu.ops.linalg import (dense_solve, gmres_matfree,
                                  make_reusable_solver, rayleigh_quotient)
 
 
 def make_full_residual_fn(model, ss_initial, ss_ending,
-                          exog_paths: Mapping[str, jnp.ndarray]) -> Callable:
+                          exog_paths: Mapping[str, jnp.ndarray],
+                          exact: bool = False) -> Callable:
     """The equilibrium map F(x) (`NewtonRaphson.jl:77-83`).
 
     x is the flat (n_endog·(T-1),) endogenous sequence; the return is the
     stacked residual vector of the same length (square system,
     `SteadyStateJacobian.jl:43-46`).
+
+    exact=True traces the pipeline under `config.exact_lowerings()` —
+    gather/elementwise interpolation forms that round at ~1e-15 on TPU
+    emulated f64, where the default hat-basis GEMM contractions round at
+    ~1.2e-10 per Bellman step and compound over T (the two-asset TPU
+    residual-floor post-mortem, BASELINE.md). Slower on TPU; used for the
+    host_inner full-precision residual/certification programs. No-op on
+    CPU (gathers are the default there).
     """
     def F(x):
-        policies = backward_iteration(x, exog_paths, model, ss_ending.vars,
-                                      ss_ending.value)
-        aggs = forward_iteration(policies, model, ss_initial.D)
-        x_mat = assemble_full_xmat(x, aggs, exog_paths, model,
-                                   ss_initial.vars, ss_ending.vars)
-        return eval_residuals(x_mat, model)
+        with exact_lowerings(exact):
+            policies = backward_iteration(x, exog_paths, model,
+                                          ss_ending.vars, ss_ending.value)
+            aggs = forward_iteration(policies, model, ss_initial.D)
+            x_mat = assemble_full_xmat(x, aggs, exog_paths, model,
+                                       ss_initial.vars, ss_ending.vars)
+            return eval_residuals(x_mat, model)
     return F
 
 
@@ -412,9 +422,18 @@ def make_path_solver(
         if host_outer and host_inner:
             # Host-driven inner Richardson: the same iteration as
             # y_iteration, dispatched as three small compiled programs.
+            # The full-precision residual is built with exact lowerings
+            # (gathers, ~1e-15 rounding on TPU emulated f64) — the default
+            # hat-basis GEMM pipeline rounds at ~1.2e-10/step and its
+            # compounded ~6e-7 deviation IS the former two-asset floor
+            # (BASELINE.md post-mortem). Direction sweeps keep the fast
+            # hat GEMMs. When the ds kernel is active (KS family) it is
+            # already ~1e-11-accurate and stays the residual evaluator.
+            F_exact = make_full_residual_fn(model, ss_initial, ss_ending,
+                                            exog_paths, exact=True)
             jvp_j = jax.jit(jvp_dir)
             solve_j = jax.jit(solve_jbar)
-            F_j = jax.jit(F)
+            F_j = jax.jit(F if ds_active else F_exact)
             # Endgame: with f32 direction sweeps the Newton step carries
             # ~1e-6-relative noise, so the Richardson outer floors around
             # 1e-6 instead of descending to eps (measured on the full-size
@@ -444,11 +463,11 @@ def make_path_solver(
             if endgame == "auto":
                 endgame_mode = ("fd" if jax.default_backend()
                                 in ("tpu", "axon") else "jvp")
-            jvp_full = (jax.jit(lambda x, v: jax.jvp(F_pipeline, (x,), (v,))[1])
+            jvp_full = (jax.jit(lambda x, v: jax.jvp(F_exact, (x,), (v,))[1])
                         if mixed else None)
-            # FD must difference the PLAIN full-precision pipeline: the ds
+            # FD must difference the exact full-precision pipeline: the ds
             # kernel's ~3e-11 value noise would be amplified by 1/(2h).
-            F_fd = F_j if not ds_active else jax.jit(F_pipeline)
+            F_fd = F_j if not ds_active else jax.jit(F_exact)
             fd_h = 1e-5
 
             def jvp_fd(x, v):

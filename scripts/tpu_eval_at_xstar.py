@@ -22,6 +22,7 @@ model = load_model("hank_two_asset", T=300)
 exog = generate_exog_paths(model, 299)
 ss0, ssT, Jbar = get_or_solve(model)
 F = jax.jit(make_full_residual_fn(model, ss0, ssT, exog))
+F_exact = jax.jit(make_full_residual_fn(model, ss0, ssT, exog, exact=True))
 out = {}
 for tag, path in [("xstar", "/tmp/hank2_xstar.npy"),
                   ("floor", "/tmp/hank2_final_x.npy")]:
@@ -32,6 +33,9 @@ for tag, path in [("xstar", "/tmp/hank2_xstar.npy"),
     Fx = np.asarray(F(x))
     out[f"F_tpu_at_{tag}"] = float(np.linalg.norm(Fx))
     out[f"F_tpu_at_{tag}_max"] = float(np.abs(Fx).max())
+    Fe = np.asarray(F_exact(x))
+    out[f"F_tpu_exact_at_{tag}"] = float(np.linalg.norm(Fe))
+    out[f"F_tpu_exact_at_{tag}_max"] = float(np.abs(Fe).max())
 try:
     xs = np.load("/tmp/hank2_xstar.npy"); xf = np.load("/tmp/hank2_final_x.npy")
     out["dist_floor_to_xstar_max"] = float(np.abs(xs - xf).max())
