@@ -216,3 +216,25 @@ def test_boehl_host_inner_fd_endgame(path_setup, capsys):
         make_path_solver(Jbar, exog, model, ss, ss, method="boehl",
                          host_inner=True, endgame="bogus",
                          direction_dtype=jnp.float32)(x0)
+
+
+def test_exact_lowerings_residual_matches(path_setup):
+    """make_full_residual_fn(exact=True) traces under exact_lowerings and
+    matches the default program pointwise (on CPU both select gathers; on
+    TPU the exact form avoids the ~1.2e-10/step emulated-f64 GEMM rounding
+    that produced the two-asset residual floor — BASELINE.md post-mortem)."""
+    from hank_tpu.config import exact_lowerings, exact_lowerings_active
+    from hank_tpu.ops.egm import _interp_mode
+
+    model, ss, exog, x0, Jbar = path_setup
+    F = make_full_residual_fn(model, ss, ss, exog)
+    Fe = make_full_residual_fn(model, ss, ss, exog, exact=True)
+    x = x0 + 1e-3
+    assert float(jnp.max(jnp.abs(F(x) - Fe(x)))) < 1e-12
+
+    # The trace-time flag actually flips the interpolation gates.
+    assert not exact_lowerings_active()
+    with exact_lowerings():
+        assert exact_lowerings_active()
+        assert _interp_mode(64) == "gather"
+    assert not exact_lowerings_active()
