@@ -552,6 +552,15 @@ def make_path_solver(
                     x, Fx, fnorm = x_best, F_best, best
                     level = 0
                     m_kry = min(40, x.shape[0])
+                    # Levenberg-Marquardt damping: the two-asset (r, ra)
+                    # block makes J near-singular (model yaml), so the
+                    # undamped Newton step rides the near-null direction
+                    # far outside the linearization radius and no line-
+                    # search fraction descends. Solving (J̄⁻¹J + λI)dx =
+                    # J̄⁻¹F bounds the step; λ shrinks on success and
+                    # grows on failure (escalating the operator only once
+                    # damping itself is exhausted).
+                    lam = 0.0
                     if verbose and iters:
                         print(f"[boehl/host] Richardson floor at |F| = "
                               f"{best:.3e}; GMRES endgame "
@@ -559,14 +568,14 @@ def make_path_solver(
                     while fnorm > eps and iters < max_outer:
                         name, op = ladder[level]
                         dx, rrel, mv = _host_pgmres(
-                            lambda v: solve_j(op(x, v)), solve_j(Fx),
-                            m=m_kry, tol=1e-3)
+                            lambda v: solve_j(op(x, v)) + lam * v,
+                            solve_j(Fx), m=m_kry, tol=1e-3)
                         total_inner += mv
                         iters += 1
                         accepted = False
                         if dx is not None and bool(
                                 jnp.all(jnp.isfinite(dx))):
-                            for s in (1.0, 0.5, 0.25, 0.1):
+                            for s in (1.0, 0.5, 0.25, 0.1, 0.03, 0.01):
                                 xt = x - s * dx
                                 Ft = F_j(xt)
                                 fn = float(jnp.linalg.norm(Ft))
@@ -575,25 +584,37 @@ def make_path_solver(
                                     accepted = True
                                     break
                         if accepted:
+                            lam *= 0.3
+                            if lam < 1e-6:
+                                lam = 0.0
                             if fnorm < best:
                                 best, x_best, F_best = fnorm, x, Fx
                             if verbose:
                                 print(f"[boehl/host] endgame outer {iters}: "
                                       f"|F| = {fnorm:.3e} ({name}, "
-                                      f"+{mv} matvecs, step {s})", flush=True)
+                                      f"+{mv} matvecs, step {s}, "
+                                      f"lam {lam:.1e})", flush=True)
                             if records is not None:
                                 records.append({"iteration": iters,
                                                 "residual_norm": fnorm,
                                                 "inner_sweeps": mv,
                                                 "operator": name})
+                        elif lam < 1e2:
+                            lam = max(10.0 * lam, 1e-2)
+                            x, Fx, fnorm = x_best, F_best, best
+                            if verbose:
+                                print(f"[boehl/host] no descent ({name}); "
+                                      f"raising LM damping to {lam:.1e}",
+                                      flush=True)
                         else:
                             if level + 1 < len(ladder):
                                 level += 1
+                                lam = 0.0
                                 x, Fx, fnorm = x_best, F_best, best
                                 if verbose:
-                                    print("[boehl/host] no descent with "
-                                          f"{name} operator; escalating to "
-                                          f"{ladder[level][0]}", flush=True)
+                                    print("[boehl/host] damping exhausted "
+                                          f"with {name} operator; escalating "
+                                          f"to {ladder[level][0]}", flush=True)
                             else:
                                 break                # genuine stall
                 if best < fnorm:
