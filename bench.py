@@ -42,6 +42,24 @@ BASELINE_PROVENANCE = {
                        "(scripts/measure_configs.py, BASELINE.md)",
 }
 
+# Round-3 results for the non-headline BASELINE configs, recorded from the
+# measurement harness runs on the live v5e (provenance: BASELINE.md, the
+# scripts named below). Informational — re-running them inside bench.py
+# would multiply driver wall-clock several-fold; re-measure with the
+# named scripts after solver changes.
+RECORDED_R3 = {
+    "hank1_T300_tpu_seconds_recorded": 0.133,       # measure_configs.py
+    "kslg_T150_tpu_seconds_recorded": 1.078,        # measure_configs.py
+    "hank2_T300_tpu_seconds_recorded": 166.0,       # measure_two_asset_boehl.py
+    "hank2_T300_tpu_residual_recorded": 6.2e-07,    # TPU-evaluated floor; see
+    # BASELINE.md: cross-backend evaluation uncertainty of this residual is
+    # ~6e-6 (split-FOC conditioning amplifies per-op rounding), so the
+    # TPU floor is the evaluation-noise limit, not a solver stall.
+    "ensemble_B1024_sweep_speedup_recorded": 12.4,  # measure_ensemble.py
+    "ensemble_B64_solve_seconds_recorded": 441.9,   # all 64 paths < 1e-8
+    "recorded_on": "v5e-1chip 2026-08-18 (round 3)",
+}
+
 
 def _solver_source_hash() -> str:
     """Hash of every hank_tpu source file + the measure harness — the CPU
@@ -206,6 +224,7 @@ def main():
         "vs_baseline": round(cpu["cpu_solve_seconds"] / solve_s, 3),
         **cpu,
         **BASELINE_PROVENANCE,
+        **RECORDED_R3,
         **extras,
     }
     print(json.dumps(result))
