@@ -50,8 +50,8 @@ BASELINE_PROVENANCE = {
 RECORDED_R3 = {
     "hank1_T300_tpu_seconds_recorded": 0.133,       # measure_configs.py
     "kslg_T150_tpu_seconds_recorded": 1.078,        # measure_configs.py
-    "hank2_T300_tpu_seconds_recorded": 166.0,       # measure_two_asset_boehl.py
-    "hank2_T300_tpu_residual_recorded": 6.2e-07,    # TPU-evaluated floor; see
+    "hank2_T300_tpu_seconds_recorded": 208.8,       # measure_two_asset_boehl.py
+    "hank2_T300_tpu_residual_recorded": 6.5e-07,    # TPU-evaluated floor; see
     # BASELINE.md: cross-backend evaluation uncertainty of this residual is
     # ~6e-6 (split-FOC conditioning amplifies per-op rounding), so the
     # TPU floor is the evaluation-noise limit, not a solver stall.
@@ -101,14 +101,23 @@ def _cpu_comparator(timeout_s: int = 2400) -> dict:
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = here
     try:
+        load1 = os.getloadavg()[0]
         proc = subprocess.run(
             [sys.executable, os.path.join(here, "scripts", "measure_configs.py"),
              "ks_T300"],
             env=env, capture_output=True, text=True, timeout=timeout_s)
         row = json.loads(proc.stdout.strip().splitlines()[-1])
+        # CPU numbers are only valid on an idle host (a concurrent job
+        # inflated ks_T300 from 23.4 s to 48-59 s twice this round) —
+        # record the 1-min load average so a contended measurement is
+        # auditable, and refuse to CACHE one taken under load.
         out = {"cpu_solve_seconds": row["solve_seconds"],
                "cpu_baseline_code_hash": key,
+               "cpu_baseline_load1": round(load1, 2),
                "cpu_baseline_fresh": True}
+        if load1 > 4.0:
+            out["cpu_baseline_contended"] = True
+            return out
     except Exception as e:  # pragma: no cover — fall back to the stamp
         out = {"cpu_solve_seconds":
                BASELINE_PROVENANCE["cpu_solve_seconds_round2_stamp"],
