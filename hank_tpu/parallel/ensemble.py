@@ -92,6 +92,7 @@ def solve_ensemble_host(x0: jnp.ndarray,
                         max_inner: int = 500,
                         inner_eta: float = 1e-5,
                         direction_dtype=jnp.float32,
+                        chunk: int | None = 64,
                         verbose: bool = False,
                         records: list | None = None) -> tuple[jnp.ndarray, dict]:
     """Batched Boehl solve with a HOST-driven outer loop (production path).
@@ -201,6 +202,38 @@ def solve_ensemble_host(x0: jnp.ndarray,
         outer_update = jax.jit(outer_update)
         F_b0 = jax.jit(F_b)
         solve_b_j = jax.jit(solve_b)
+
+    if mesh is None and chunk is not None and B > chunk and B % chunk == 0:
+        # v5e workaround: the vmapped mixed-tail direction program
+        # MISCOMPILES at batch width 256 — with identical row inputs, the
+        # B=256 program returns a row-0 tangent of norm 1.4e4 where the
+        # B=64 program (and CPU) return 2.9e5 (measured round 3; the B=64
+        # full solve converges, the B=256 solve's first real sweep returns
+        # garbage and every row trips the divergence guard). Cap the
+        # compiled batch width at a known-good `chunk` and drive larger B
+        # as host-level chunked calls of ONE compiled program. The meshed
+        # path shards rows across devices instead (per-device width stays
+        # small) and is exempt.
+        def _rows(arg, sl):
+            if isinstance(arg, dict):
+                return {k: p[sl] for k, p in arg.items()}
+            return arg[sl] if hasattr(arg, "ndim") and arg.ndim >= 1 \
+                and arg.shape[0] == B else arg
+
+        def _chunked(call):
+            def run(*args):
+                outs = [call(*(_rows(a, slice(i, i + chunk)) for a in args))
+                        for i in range(0, B, chunk)]
+                if isinstance(outs[0], tuple):
+                    return tuple(jnp.concatenate([o[j] for o in outs])
+                                 for j in range(len(outs[0])))
+                return jnp.concatenate(outs)
+            return run
+
+        inner_step = _chunked(inner_step)
+        outer_update = _chunked(outer_update)
+        F_b0 = _chunked(F_b0)
+        solve_b_j = _chunked(solve_b_j)
 
     x = x0.astype(x_dtype)
     y = jnp.zeros_like(x)

@@ -158,3 +158,28 @@ def test_solve_ensemble_host_survives_bad_path(ks_small, ks_small_ss):
     assert bool(jnp.all(info["residual_norm"][good] < 1e-9))
     assert bool(jnp.all(jnp.isfinite(x_paths[good])))
     assert info["stalled_paths"] >= 1
+
+
+def test_solve_ensemble_host_chunked_matches(ks_small, ks_small_ss):
+    """Host-level batch chunking (the v5e B=256 miscompilation workaround)
+    is numerically invisible: chunk=3 over B=6 matches the unchunked solve
+    row-for-row."""
+    from hank_tpu.parallel.ensemble import solve_ensemble_host
+    from hank_tpu.solvers.ss_jacobian import get_steady_state_jacobian
+
+    model, ss = ks_small, ks_small_ss
+    T = model.compspec.T
+    B = 6
+    t = jnp.arange(1, T, dtype=jnp.float64)
+    rhos = 0.5 + 0.4 * jnp.arange(B, dtype=jnp.float64) / B
+    exog_b = {"Z": 1.0 + 0.05 * rhos[:, None] ** t[None, :]}
+    x0 = jnp.tile(jnp.asarray(
+        [ss.vars[k] for k in model.vars_of_type("endogenous")]), T - 1)
+    Jbar = get_steady_state_jacobian(ss, model)
+
+    x_c, info_c = solve_ensemble_host(x0, Jbar, exog_b, model, ss, ss,
+                                      eps=1e-9, chunk=3)
+    x_u, info_u = solve_ensemble_host(x0, Jbar, exog_b, model, ss, ss,
+                                      eps=1e-9, chunk=None)
+    assert bool(jnp.all(info_c["residual_norm"] < 1e-9))
+    assert float(jnp.max(jnp.abs(x_c - x_u))) < 1e-12
