@@ -101,16 +101,20 @@ def _cpu_comparator(timeout_s: int = 2400) -> dict:
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = here
     try:
-        load1 = os.getloadavg()[0]
+        load1_before = os.getloadavg()[0]
         proc = subprocess.run(
             [sys.executable, os.path.join(here, "scripts", "measure_configs.py"),
              "ks_T300"],
             env=env, capture_output=True, text=True, timeout=timeout_s)
         row = json.loads(proc.stdout.strip().splitlines()[-1])
         # CPU numbers are only valid on an idle host (a concurrent job
-        # inflated ks_T300 from 23.4 s to 48-59 s twice this round) —
-        # record the 1-min load average so a contended measurement is
-        # auditable, and refuse to CACHE one taken under load.
+        # inflated ks_T300 from 23.4 s to 48-59 s twice in round 3) —
+        # sample the 1-min load average BOTH before and after the ~20 s
+        # measurement (a contender that starts mid-run only shows in the
+        # after-sample) and use the max; refuse to CACHE a contended run.
+        # The subprocess itself contributes ~1 to load1, so the threshold
+        # allows it plus this process; >4 means real contention.
+        load1 = max(load1_before, os.getloadavg()[0])
         out = {"cpu_solve_seconds": row["solve_seconds"],
                "cpu_baseline_code_hash": key,
                "cpu_baseline_load1": round(load1, 2),

@@ -101,7 +101,17 @@ def exact_lowerings_active() -> bool:
 
 
 class exact_lowerings:
-    """Context manager: prefer exactly-rounded lowerings while tracing."""
+    """Context manager: prefer exactly-rounded lowerings while tracing.
+
+    Contract (single-thread, whole-trace scope): the flag is a plain
+    module global read at TRACE time and is invisible to jit cache keys,
+    so it must only be toggled around WHOLE-PROGRAM traces from one
+    thread — every residual fn in this package re-enters the context
+    inside its own traced body (`make_full_residual_fn`), which satisfies
+    this. Do NOT toggle it around a call to an already-jitted function
+    (the cached program keeps the mode it was traced under) and do not
+    trace concurrently from multiple threads while toggling.
+    """
 
     def __init__(self, on: bool = True):
         self.on = bool(on)

@@ -60,18 +60,19 @@ import jax.numpy as jnp
 from hank_tpu.ops.egm import interp_columns
 
 # Portfolio-split FOC solve inside one Bellman step: g(a') =
-# W_b(s-a', a') - W_a(s-a', a') is increasing in a' (both continuation
-# values are concave), so the root along each line b' = s - a' is unique
-# and bracketable. The solve is staged for TPU: one WIDE batched scan of g
+# G(s-a', a') with G = W_b - W_a precomputed on the lattice (round 4:
+# ONE bilinear per g evaluation instead of two, and the exact directional
+# slope comes with it) is increasing in a' (both continuation values are
+# concave), so the root along each line b' = s - a' is unique and
+# bracketable. The solve is staged for TPU: one WIDE batched scan of g
 # at K fixed fractions of s (a single vectorized evaluation — sequential
 # small interp kernels are latency-bound on TPU) brackets the root to
 # s/(K-1); a short monotone bisection tightens the bracket across the
-# piecewise-bilinear kinks (plain Newton crawls there); a clamped Newton
-# polish restores smoothness; the implicit-function step (below) yields
-# the AD derivative. Fixed counts keep the step jit/scan/AD-compatible.
-# Sequential depth: 1 wide + BISECT + POLISH + 1 jvp evaluations of g,
-# vs 30 bisections + 2 bracket evals in the round-2 design (2.3x fewer
-# serialized interp passes per Bellman step; the wide scan vectorizes).
+# piecewise-bilinear kinks; a clamped Newton polish (quadratic now that
+# the slope is exact) restores smoothness; the implicit-function step
+# (below) yields the AD derivative. Fixed counts keep the step
+# jit/scan/AD-compatible. Sequential depth: 1 wide + BISECT + POLISH + 1
+# single-bilinear evaluations of g.
 _SPLIT_SCAN_K = 48
 _SPLIT_BISECT_ITERS = 12
 _SPLIT_POLISH_ITERS = 3
@@ -327,16 +328,23 @@ def ValueFunction(value_next, xvals, model):
     n_s = n_b
     s2 = jnp.broadcast_to(s_grid[:, None], (n_s, n_e))
 
-    def g_fun(a_s):
-        """FOC gap g = W_b - W_a along the line b' = s - a', and dg/da'.
+    # FOC gap via the DIFFERENCE SURFACE G = W_b − W_a (round 4): one
+    # bilinear per evaluation instead of two (the split is the sweep's hot
+    # loop), and the slope g' = dG/da' along the line b' = s − a' is the
+    # EXACT directional derivative −G_b + G_a (the round-3 form dropped the
+    # bilinear cross terms W_b,a and W_a,b — its Newton polish was only
+    # linearly convergent and the IFT step needed an extra jvp of g).
+    G = Wb - Wa
 
-        g is increasing in a': dW_b/da' = -∂_b W_b > 0 (concavity in b) and
-        dW_a/da' = ∂_a W_a < 0, so gp = -wb_db - wa_da > 0.
+    def g_fun(a_s):
+        """FOC gap g = G(s - a', a') along the line, and its exact slope.
+
+        g is increasing in a' (both continuation values are concave), so
+        gp = G_a - G_b > 0 away from flat-extrapolation regions.
         """
         b_s = s2 - a_s
-        wb, wb_db, _ = bilinear(Wb, bgrid, agrid, b_s, a_s)
-        wa, _, wa_da = bilinear(Wa, bgrid, agrid, b_s, a_s)
-        return wb - wa, -wb_db - wa_da
+        gv, g_db, g_da = bilinear(G, bgrid, agrid, b_s, a_s)
+        return gv, g_da - g_db
 
     # Wide bracket scan: evaluate g at K fixed fractions of s in ONE batched
     # interp pass (slopes are dead code here — XLA DCEs them), then take the
@@ -373,29 +381,48 @@ def ValueFunction(value_next, xvals, model):
     a_iter = jax.lax.fori_loop(0, _SPLIT_POLISH_ITERS, polish, 0.5 * (lo + hi))
 
     # Differentiate the root IMPLICITLY, not through the iterations: the
-    # bisection selects carry no useful tangent, and the polish's
-    # approximate slope gp (it drops the bilinear cross-terms wb_da, wa_db
-    # that arise along the line b' = s − a') leaves a large derivative
-    # error w.r.t. the continuation surfaces — which compounds through the
-    # backward recursion into an AD Jacobian inconsistent with F (measured
-    # rel. error ≈ 0.9, no Newton descent). One Newton step at the
-    # stop_gradient'ed root, with the EXACT directional slope g_a from a
-    # jvp of g along a (cross-terms included) held constant, reproduces
+    # bisection selects carry no useful tangent and would leave an AD
+    # Jacobian inconsistent with F (measured rel. error ≈ 0.9 in round 2,
+    # no Newton descent). One Newton step at the stop_gradient'ed root,
+    # with the exact directional slope g_a held constant, reproduces
     # a* = a − g/g_a with g ≈ 0: the primal is unchanged and AD yields the
-    # implicit-function derivative −g_θ/g_a.
+    # implicit-function derivative −g_θ/g_a. The G-surface g_fun returns
+    # the exact slope analytically (cross terms included) — no jvp needed.
     a_iter = jax.lax.stop_gradient(a_iter)
-    g_at, g_a = jax.jvp(lambda a: g_fun(a)[0], (a_iter,),
-                        (jnp.ones_like(a_iter),))
+    g_at, g_a = g_fun(a_iter)
     g_a = jnp.maximum(jax.lax.stop_gradient(g_a), 1e-10)
     a_star = jnp.clip(a_iter - g_at / g_a, 0.0, s2)
     # Corners: marginal unit strictly better in one asset over [0, s].
     a_star = jnp.where(g_lo >= 0, 0.0, jnp.where(g_hi <= 0, s2, a_star))
     b_star = s2 - a_star
-    wb_s, _, _ = bilinear(Wb, bgrid, agrid, b_star, a_star)
-    wa_s, _, _ = bilinear(Wa, bgrid, agrid, b_star, a_star)
-    # Marginal value of savings: at an interior split both agree; at a
-    # corner the marginal unit goes to the better asset.
-    W_s = jnp.maximum(wb_s, wa_s)                               # (n_s, n_e)
+    wb_s, wb_db, wb_da = bilinear(Wb, bgrid, agrid, b_star, a_star)
+    wa_s, wa_db, wa_da = bilinear(Wa, bgrid, agrid, b_star, a_star)
+    # Marginal value of savings. At an interior split both surfaces agree
+    # and the true envelope derivative w.r.t. any parameter θ is the
+    # slope-weighted combination (−wa'·dW_b + wb'·dW_a)/g' (wb', wa' the
+    # directional slopes along the budget line, g' = wb' − wa'). Evaluating
+    # W_s as that SAME combination of the two surface values,
+    #     M̂ = (wb'·wa − wa'·wb) / g',
+    # has two properties max(wb, wa) lacks (round-4 reformulation):
+    #   1. first-order INSENSITIVITY to split error δ = a_computed − a*:
+    #      wb ≈ M + δ·wb', wa ≈ M + δ·wa' cancel exactly in M̂, so the
+    #      1/g' noise amplification of the root-find (per-op rounding →
+    #      ~3e4× policy deviations, the round-3 TPU residual-floor
+    #      post-mortem in BASELINE.md) never re-enters the value
+    #      recursion — the backward pass stays a β-contraction for
+    #      evaluation noise;
+    #   2. the AD derivative of M̂ IS the envelope derivative (max picks
+    #      one branch and mis-weights dW_b vs dW_a at first order).
+    # At corners (or where flat extrapolation degrades the slopes) the
+    # marginal unit goes to the better asset: fall back to max.
+    wbp = wb_da - wb_db                                        # ≥ 0 interior
+    wap = wa_da - wa_db                                        # ≤ 0 interior
+    gp_s = wbp - wap
+    combo_ok = ((a_star > 0.0) & (a_star < s2)
+                & (wbp >= 0.0) & (wap <= 0.0) & (gp_s > 1e-10))
+    M_combo = (wbp * wa_s - wap * wb_s) / jnp.where(combo_ok, gp_s, 1.0)
+    W_s = jnp.where(combo_ok, M_combo,
+                    jnp.maximum(wb_s, wa_s))                   # (n_s, n_e)
 
     c_end_s = _crra_inv_marg(W_s, gamma)
     w_knots = c_end_s + s2                                      # (n_s, n_e), increasing

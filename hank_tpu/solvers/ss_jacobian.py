@@ -242,14 +242,20 @@ def direct_jacobian_columns(ss_initial, ss_ending, model,
                             columns,
                             exog_paths: Mapping[str, jnp.ndarray] | None = None,
                             mode: str = "jvp",
-                            fd_step: float = 1e-4) -> jnp.ndarray:
+                            fd_step: float | None = None) -> jnp.ndarray:
     """Selected Jacobian columns of the FULL pipeline by JVP or finite
     differences — the reference's AD-validation tools `directJVPJacobian` /
     `directNumJacobian` (`SteadyState.jl:296-356`), generalized to arbitrary
     column sets.
 
+    fd_step defaults to the model's `CompSpec.dx` — the YAML computational
+    parameter the reference wires as its FD step (`ModelParser.jl:312-317`,
+    default 1e-8; the KS yaml sets 0.001).
+
     Returns (n, len(columns)).
     """
+    if fd_step is None:
+        fd_step = model.compspec.dx
     from hank_tpu.solvers.newton import make_full_residual_fn
 
     Tm1 = model.compspec.T - 1

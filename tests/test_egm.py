@@ -45,6 +45,35 @@ def test_interp_columns_hat_matches_gather():
                        atol=1e-12)
 
 
+def test_interp_columns_hat_tied_interior_knots():
+    """An interior TIED knot pair degrades exactly: hat weights still sum to
+    1 and the interpolant matches the gather form's values everywhere except
+    at the tie itself, where the two forms pick different duplicates (a
+    genuine value ambiguity — see `_interp_columns_hat`). Regression for the
+    round-3 advisor finding (weights summed to 0.5 on [0, 1, 1, 2])."""
+    knots = np.array([[0.0], [1.0], [1.0], [2.0]])
+    vals = np.array([[10.0], [20.0], [30.0], [40.0]])
+    x = np.array([-0.5, 0.25, 0.999, 1.25, 1.0, 2.0, 2.5])
+    hat = np.asarray(interp_columns(jnp.asarray(x), jnp.asarray(knots),
+                                    jnp.asarray(vals), mode="hat"))[:, 0]
+    # Left interval interpolates knot0..knot1 (left dup), right interval
+    # knot2 (right dup)..knot3; flat extrapolation at the ends.
+    expected = np.array([10.0, 12.5, 10.0 + 0.999 * 10.0,
+                         30.0 + 0.25 * 10.0, 30.0, 40.0, 40.0])
+    assert np.allclose(hat, expected, atol=1e-12)
+
+    # On strictly increasing knots the tied-knot handling must be inert:
+    rng = np.random.default_rng(2)
+    k2 = np.sort(rng.uniform(0, 5, size=(9, 2)), axis=0)
+    v2 = rng.normal(size=(9, 2))
+    q = np.concatenate([np.linspace(-1, 6, 31), k2[4, :]])
+    a = interp_columns(jnp.asarray(q), jnp.asarray(k2), jnp.asarray(v2),
+                       mode="hat")
+    b = interp_columns(jnp.asarray(q), jnp.asarray(k2), jnp.asarray(v2),
+                       mode="gather")
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
 def test_egm_consumption_euler_inversion():
     Pi = jnp.asarray([[0.9, 0.1], [0.2, 0.8]])
     v_next = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])

@@ -74,6 +74,27 @@ def test_build_ks_model():
     assert model.ss_ending.fixed == {"Z": 2.0}
 
 
+def test_compspec_dx_parsed_and_consumed():
+    """CompSpec.dx carries the YAML fd-step (reference semantics,
+    `ModelParser.jl:312-317`: yaml value or default 1e-8) and is consumed as
+    `direct_jacobian_columns`' default FD step (round-3 verdict item 7)."""
+    import inspect
+
+    from hank_tpu.config import config
+    from hank_tpu.solvers.ss_jacobian import direct_jacobian_columns
+
+    model = load_model("krusell_smith")
+    assert model.compspec.dx == 0.001          # KrusellSmith.yaml dx
+    model2 = load_model("hank_two_asset")
+    assert model2.compspec.dx == config.default_dx   # parser default 1e-8
+
+    # The default fd_step is None -> resolved to model.compspec.dx.
+    sig = inspect.signature(direct_jacobian_columns)
+    assert sig.parameters["fd_step"].default is None
+    src = inspect.getsource(direct_jacobian_columns)
+    assert "model.compspec.dx" in src
+
+
 def test_residuals_smoke_on_ones(ks_small):
     """The reference's ones-matrix smoke test (`test_Model.jl:84-92`)."""
     model = ks_small

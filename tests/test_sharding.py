@@ -160,16 +160,20 @@ def test_solve_ensemble_host_survives_bad_path(ks_small, ks_small_ss):
     assert info["stalled_paths"] >= 1
 
 
-def test_solve_ensemble_host_chunked_matches(ks_small, ks_small_ss):
+def test_solve_ensemble_host_chunked_matches(ks_small, ks_small_ss,
+                                             monkeypatch):
     """Host-level batch chunking (the v5e B=256 miscompilation workaround)
-    is numerically invisible: chunk=3 over B=6 matches the unchunked solve
-    row-for-row."""
+    is numerically invisible — including a RAGGED final chunk (B=7 over
+    chunk=3 pads with row-0 copies; round-3 advisor finding). The probe is
+    forced to report a mismatch so the chunked path actually engages on the
+    healthy CPU backend."""
+    from hank_tpu.parallel import ensemble
     from hank_tpu.parallel.ensemble import solve_ensemble_host
     from hank_tpu.solvers.ss_jacobian import get_steady_state_jacobian
 
     model, ss = ks_small, ks_small_ss
     T = model.compspec.T
-    B = 6
+    B = 7
     t = jnp.arange(1, T, dtype=jnp.float64)
     rhos = 0.5 + 0.4 * jnp.arange(B, dtype=jnp.float64) / B
     exog_b = {"Z": 1.0 + 0.05 * rhos[:, None] ** t[None, :]}
@@ -177,9 +181,51 @@ def test_solve_ensemble_host_chunked_matches(ks_small, ks_small_ss):
         [ss.vars[k] for k in model.vars_of_type("endogenous")]), T - 1)
     Jbar = get_steady_state_jacobian(ss, model)
 
-    x_c, info_c = solve_ensemble_host(x0, Jbar, exog_b, model, ss, ss,
-                                      eps=1e-9, chunk=3)
     x_u, info_u = solve_ensemble_host(x0, Jbar, exog_b, model, ss, ss,
                                       eps=1e-9, chunk=None)
+    monkeypatch.setattr(ensemble, "_probe_width_consistency",
+                        lambda *a, **k: False)
+    with pytest.warns(UserWarning, match="disagrees"):
+        x_c, info_c = solve_ensemble_host(x0, Jbar, exog_b, model, ss, ss,
+                                          eps=1e-9, chunk=3)
     assert bool(jnp.all(info_c["residual_norm"] < 1e-9))
     assert float(jnp.max(jnp.abs(x_c - x_u))) < 1e-12
+
+
+def test_ensemble_width_probe_detects_corruption(ks_small, ks_small_ss):
+    """`_probe_width_consistency` returns True for the healthy programs and
+    False when the full-width program returns corrupted tangent norms (the
+    round-3 v5e B=256 miscompilation signature: row norms off ~20x)."""
+    from hank_tpu.parallel.ensemble import _probe_width_consistency
+
+    n, B = 12, 6
+    x0 = jnp.linspace(0.5, 1.5, n)
+    exog_b = {"Z": jnp.ones((B, 4))}
+
+    def inner_healthy(x, y, Fx, tol, ex):
+        r = jnp.full((x.shape[0],), 2.9e5)
+        return y, r
+
+    def chunked(x, y, Fx, tol, ex):
+        return inner_healthy(x, y, Fx, tol, ex)
+
+    assert _probe_width_consistency(inner_healthy, chunked, x0, exog_b,
+                                    B, n, jnp.float64)
+
+    def inner_bad(x, y, Fx, tol, ex):       # row 0 corrupted, 20x off
+        r = jnp.full((x.shape[0],), 2.9e5).at[0].set(1.4e4)
+        return y, r
+
+    assert not _probe_width_consistency(inner_bad, chunked, x0, exog_b,
+                                        B, n, jnp.float64)
+
+
+def test_solve_ensemble_tpu_fence_passthrough(ks_small, ks_small_ss):
+    """On CPU backends `solve_ensemble` stays fully traced (no fence)."""
+    import hank_tpu.parallel.ensemble as ens
+
+    assert jax.default_backend() == "cpu"   # conftest pins the CPU backend
+    # The fence only engages on tpu/axon; nothing to assert beyond the
+    # existing solve_ensemble tests passing — this is a backend sanity pin
+    # so a future conftest change cannot silently skip the fenced branch.
+    assert hasattr(ens, "solve_ensemble_host")
