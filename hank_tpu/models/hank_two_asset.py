@@ -60,22 +60,27 @@ import jax.numpy as jnp
 from hank_tpu.ops.egm import interp_columns
 
 # Portfolio-split FOC solve inside one Bellman step: g(a') =
-# G(s-a', a') with G = W_b - W_a precomputed on the lattice (round 4:
-# ONE bilinear per g evaluation instead of two, and the exact directional
-# slope comes with it) is increasing in a' (both continuation values are
-# concave), so the root along each line b' = s - a' is unique and
-# bracketable. The solve is staged for TPU: one WIDE batched scan of g
-# at K fixed fractions of s (a single vectorized evaluation — sequential
-# small interp kernels are latency-bound on TPU) brackets the root to
-# s/(K-1); a short monotone bisection tightens the bracket across the
-# piecewise-bilinear kinks; a clamped Newton polish (quadratic now that
-# the slope is exact) restores smoothness; the implicit-function step
-# (below) yields the AD derivative. Fixed counts keep the step
-# jit/scan/AD-compatible. Sequential depth: 1 wide + BISECT + POLISH + 1
-# single-bilinear evaluations of g.
-_SPLIT_SCAN_K = 48
-_SPLIT_BISECT_ITERS = 12
-_SPLIT_POLISH_ITERS = 3
+# G(s-a', a') with G = W_b - W_a precomputed on the lattice (ONE bilinear
+# per g evaluation, and the exact directional slope comes with it) is
+# increasing in a' (both continuation values are concave), so the root
+# along each line b' = s - a' is unique. Round 4: the root is found
+# DIRECTLY, not iteratively. Restricted to the diagonal line b' = s - a',
+# the piecewise-BILINEAR surface G is piecewise-QUADRATIC in a', with
+# kinks exactly where the line crosses a grid plane: a' = agrid[j] or
+# a' = s - bgrid[i] (flat-extrapolation boundaries included — beyond a
+# grid top the restriction is piecewise linear, a special case). So:
+# evaluate g at ALL n_a + n_b + 2 candidate breakpoints in ONE wide
+# batched pass, bracket the sign change between two consecutive
+# breakpoints by monotone max/min reductions (no sort needed), and solve
+# the quadratic on that segment ANALYTICALLY from three exact values
+# (endpoints + midpoint determine a quadratic). Sequential depth: 2
+# batched bilinear passes (wide + midpoint) instead of the round-3
+# 1 + 12-bisection + 3-polish ladder — the split was the dominant serial
+# depth of the two-asset sweep on TPU (each tiny pass is launch-latency
+# bound) — and the root is exact to f.p. rounding instead of
+# bisection-tolerance, which tightens the residual's evaluation-noise
+# floor (BASELINE.md round-3 post-mortem). The implicit-function step
+# (below) yields the AD derivative.
 
 
 def fiscalShock(T: int, *, size: float = 0.01, rho: float = 0.8, **kwargs) -> jnp.ndarray:
@@ -346,39 +351,54 @@ def ValueFunction(value_next, xvals, model):
         gv, g_db, g_da = bilinear(G, bgrid, agrid, b_s, a_s)
         return gv, g_da - g_db
 
-    # Wide bracket scan: evaluate g at K fixed fractions of s in ONE batched
-    # interp pass (slopes are dead code here — XLA DCEs them), then take the
-    # bracket around the sign change. g is increasing along the line, so the
-    # bracket is [last a with g < 0, next sample].
-    frac = jnp.linspace(0.0, 1.0, _SPLIT_SCAN_K, dtype=s2.dtype)
-    a_scan = frac[:, None, None] * s2                      # (K, n_s, n_e)
-    g_scan, _ = g_fun(a_scan)
-    g_lo, g_hi = g_scan[0], g_scan[-1]                     # corner tests below
-    i_lo = jnp.clip(jnp.sum(g_scan < 0, axis=0) - 1, 0, _SPLIT_SCAN_K - 2)
-    lo = jnp.take_along_axis(a_scan, i_lo[None], axis=0)[0]
-    hi = jnp.take_along_axis(a_scan, i_lo[None] + 1, axis=0)[0]
+    # Wide breakpoint pass: g at every cell-boundary crossing of the line
+    # b' = s - a' (a-knots, b-knots, both endpoints), clipped into [0, s],
+    # in ONE batched interp pass (slopes are dead code here — XLA DCEs
+    # them). Between consecutive breakpoints g is an exact quadratic.
+    a_knots = jnp.broadcast_to(agrid[:, None, None], (n_a, n_s, n_e))
+    b_knots = s2[None] - jnp.broadcast_to(bgrid[:, None, None],
+                                          (n_b, n_s, n_e))
+    cand = jnp.concatenate([jnp.zeros((1, n_s, n_e), s2.dtype),
+                            a_knots, b_knots, s2[None]], axis=0)
+    cand = jnp.clip(cand, 0.0, s2[None])                   # (K, n_s, n_e)
+    g_cand, _ = g_fun(cand)
+    g_lo, g_hi = g_cand[0], g_cand[-1]                     # corner tests below
 
-    def bisect(_, lohi):
-        lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        g, _ = g_fun(mid)
-        neg = g < 0
-        return jnp.where(neg, mid, lo), jnp.where(neg, hi, mid)
+    # Monotone bracket without a sort: g increasing in a' means the largest
+    # NEGATIVE candidate is the left neighbor of the root and the smallest
+    # NON-NEGATIVE candidate the right one — and their g values are the
+    # max-over-negatives / min-over-nonnegatives respectively, so argmax
+    # gathers are unnecessary. Empty sides (root at a corner) are patched
+    # with finite placeholders; the corner selection below overwrites them.
+    neg = g_cand < 0
+    big = jnp.asarray(jnp.finfo(s2.dtype).max, s2.dtype)
+    lo = jnp.max(jnp.where(neg, cand, -big), axis=0)
+    hi = jnp.min(jnp.where(neg, big, cand), axis=0)
+    g0 = jnp.max(jnp.where(neg, g_cand, -big), axis=0)
+    g1 = jnp.min(jnp.where(neg, big, g_cand), axis=0)
+    has_neg = jnp.any(neg, axis=0)
+    has_pos = jnp.any(~neg, axis=0)
+    lo = jnp.where(has_neg, lo, 0.0)
+    g0 = jnp.where(has_neg, g0, -1.0)
+    hi = jnp.where(has_pos, hi, s2)
+    g1 = jnp.where(has_pos, g1, 1.0)
 
-    lo, hi = jax.lax.fori_loop(0, _SPLIT_BISECT_ITERS, bisect, (lo, hi))
-
-    # Newton polish clamped to the (slightly widened) bracket: a near-tie in
-    # the f.p. scan can put the true root one ulp outside [lo, hi], and an
-    # unclamped step from a kinked cell could leave the basin entirely.
-    width = hi - lo
-    p_lo = jnp.maximum(lo - width, 0.0)
-    p_hi = jnp.minimum(hi + width, s2)
-
-    def polish(_, a_s):
-        g, gp = g_fun(a_s)
-        return jnp.clip(a_s - g / jnp.maximum(gp, 1e-10), p_lo, p_hi)
-
-    a_iter = jax.lax.fori_loop(0, _SPLIT_POLISH_ITERS, polish, 0.5 * (lo + hi))
+    # Quadratic on [lo, hi] from three exact values (endpoints + midpoint);
+    # u = (a' - lo)/h. The stable-citardauq pair covers the a2 → 0 (linear
+    # segment, e.g. flat extrapolation) limit without a branch.
+    h = hi - lo
+    gm, _ = g_fun(0.5 * (lo + hi))
+    a0 = g0
+    a1c = -3.0 * g0 + 4.0 * gm - g1
+    a2c = 2.0 * g0 - 4.0 * gm + 2.0 * g1
+    disc = jnp.maximum(a1c * a1c - 4.0 * a2c * a0, 0.0)
+    sgn = jnp.where(a1c >= 0, 1.0, -1.0)
+    q = -0.5 * (a1c + sgn * jnp.sqrt(disc))
+    u_a = a0 / jnp.where(jnp.abs(q) > 0, q, 1.0)           # citardauq root
+    u_b = q / jnp.where(jnp.abs(a2c) > 0, a2c, 1.0)        # classic root
+    in01 = (u_a >= 0.0) & (u_a <= 1.0) & (jnp.abs(q) > 0)
+    u = jnp.clip(jnp.where(in01, u_a, u_b), 0.0, 1.0)
+    a_iter = jnp.where(h > 0, lo + u * h, lo)
 
     # Differentiate the root IMPLICITLY, not through the iterations: the
     # bisection selects carry no useful tangent and would leave an AD

@@ -92,18 +92,8 @@ def _boehl_alpha(ray: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(1.0 / jnp.maximum(ray, 1.0), 0.05, 1.0)
 
 
-def _host_pgmres(apply_A, b, m: int, tol: float):
-    """Host-driven GMRES on compiled matvecs (Arnoldi/MGS, numpy f64 LS).
-
-    Solves A·dx = b to relative tolerance `tol` with at most `m` matvecs.
-    Used by the host_inner boehl endgame: unlike the Richardson y-iteration,
-    GMRES contracts even when the preconditioned operator is INDEFINITE
-    along the current direction — which is exactly what happens at a kinked
-    residual's f32 noise floor (measured two-asset at the floor point:
-    Rayleigh quotients of J̄⁻¹J in [-2.3, -0.3], where Richardson diverges
-    at any step size). The Krylov basis lives on device; the (m+1, m)
-    Hessenberg least-squares runs on the host in numpy f64 (no normal
-    equations, no conditioning squaring).
+def _host_pgmres_cycle(apply_A, b, m: int, tol: float):
+    """One Arnoldi/MGS cycle of host-driven GMRES (numpy f64 LS).
 
     Returns (dx, rel_residual, matvecs); dx is None if a matvec came back
     non-finite (caller escalates to a more robust operator).
@@ -138,6 +128,63 @@ def _host_pgmres(apply_A, b, m: int, tol: float):
     for yi, Vi in zip(y[1:], V[1:k]):
         dx = dx + float(yi) * Vi
     return dx, rrel, k
+
+
+def _host_pgmres(apply_A, b, m: int, tol: float, restarts: int = 1):
+    """Host-driven restarted GMRES on compiled matvecs (Arnoldi/MGS).
+
+    Solves A·dx = b to relative tolerance `tol` with at most `m` matvecs
+    per cycle and up to `restarts` extra cycles. Used by the host_inner
+    boehl endgame: unlike the Richardson y-iteration, GMRES contracts even
+    when the preconditioned operator is INDEFINITE along the current
+    direction — which is exactly what happens at a kinked residual's f32
+    noise floor (measured two-asset at the floor point: Rayleigh quotients
+    of J̄⁻¹J in [-2.3, -0.3], where Richardson diverges at any step size).
+    The Krylov basis lives on device; the (m+1, m) Hessenberg least-squares
+    runs on the host in numpy f64 (no normal equations, no conditioning
+    squaring).
+
+    A cycle that stops at m without reaching tol is NOT silently treated as
+    a full solve (round-3 weakness): if it made real progress the residual
+    is re-evaluated exactly (one extra matvec) and another cycle runs from
+    the deflated right-hand side; a stagnant cycle (< 10% residual drop)
+    stops — restarting it would burn m matvecs for nothing and the caller's
+    LM damping is the right escalation.
+
+    Returns (dx, rel_residual, matvecs); dx is None if a matvec came back
+    non-finite on the FIRST cycle (caller escalates the operator); later
+    non-finite cycles return the best accumulated iterate.
+    """
+    bn = float(jnp.linalg.norm(b))
+    if bn == 0.0 or not math.isfinite(bn):
+        return None, float("inf"), 0
+    dx_total = None
+    r = b
+    rrel_prev = 1.0
+    total_mv = 0
+    rrel = float("inf")
+    for cycle in range(restarts + 1):
+        dx, rrel_c, mv = _host_pgmres_cycle(apply_A, r, m, tol / rrel_prev)
+        total_mv += mv
+        if dx is None:
+            if dx_total is None:
+                return None, float("inf"), total_mv
+            return dx_total, rrel, total_mv
+        dx_total = dx if dx_total is None else dx_total + dx
+        rrel = rrel_c * rrel_prev            # vs the ORIGINAL b
+        if rrel < tol or cycle == restarts:
+            break
+        # True deflated residual (Arnoldi's estimate drifts across cycles).
+        r = b - apply_A(dx_total)
+        total_mv += 1
+        rn = float(jnp.linalg.norm(r))
+        if not math.isfinite(rn):
+            break
+        rrel = rn / bn
+        if rrel < tol or rrel > 0.9 * rrel_prev:
+            break
+        rrel_prev = rrel
+    return dx_total, rrel, total_mv
 
 
 def newton_raphson_hank(
