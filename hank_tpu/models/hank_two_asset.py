@@ -109,6 +109,35 @@ def access_process(n: int = 2, lam: float = 0.1):
     return grid, Pi
 
 
+def _expect_income(Vm, Pi):
+    """Income expectation W[b, a, e] = Σ_f Vm[b, a, f] · Pi[e, f].
+
+    Under `config.exact_lowerings` (the full-precision residual /
+    certification programs) the contraction UNROLLS to elementwise
+    scalar·map FMAs: TPU emulated-f64 ELEMENTWISE ops round at ~1e-15
+    where the MXU f64 einsum rounds at ~1.2e-10 (scripts/
+    tpu_f64_op_probe.py). The einsum was the one contraction the round-3
+    exact-lowerings rebuild did NOT replace — consistent with the residual
+    floor being IDENTICAL (6.2e-6) under both interpolation lowerings
+    (BASELINE.md post-mortem): its per-step rounding compounds over the
+    T-long W recursion and the portfolio-split FOC amplifies it by 1/g′.
+    The fast path keeps the MXU einsum (n_e = 5: 25 scalar·map products
+    is cheap either way, but f32 sweeps prefer one fused GEMM).
+    """
+    from hank_tpu.config import exact_lowerings_active
+
+    if exact_lowerings_active():
+        n_e = Pi.shape[0]
+        cols = []
+        for e in range(n_e):
+            acc = Pi[e, 0] * Vm[..., 0]
+            for f in range(1, n_e):
+                acc = acc + Pi[e, f] * Vm[..., f]
+            cols.append(acc)
+        return jnp.stack(cols, axis=-1)
+    return jnp.einsum("baf,ef->bae", Vm, Pi)
+
+
 def _crra_inv_marg(W, gamma):
     """W**(-1/γ) — exact algebraic form at γ = 2 (rsqrt + one Newton polish,
     < 1 ulp) instead of generic pow. TPU f32 pow lowers to exp2(y·log2 x)
@@ -299,8 +328,8 @@ def ValueFunction(value_next, xvals, model):
     Vb_next, Va_next = value_next[0], value_next[1]            # (b, a, e, adj)
     Vb_mix = (1.0 - lam) * Vb_next[..., 0] + lam * Vb_next[..., 1]
     Va_mix = (1.0 - lam) * Va_next[..., 0] + lam * Va_next[..., 1]
-    Wb = jnp.maximum(beta * jnp.einsum("baf,ef->bae", Vb_mix, Pi), 1e-12)
-    Wa = jnp.maximum(beta * jnp.einsum("baf,ef->bae", Va_mix, Pi), 1e-12)
+    Wb = jnp.maximum(beta * _expect_income(Vb_mix, Pi), 1e-12)
+    Wa = jnp.maximum(beta * _expect_income(Va_mix, Pi), 1e-12)
 
     # ── NO-ACCESS problem: capped accrual a' = min((1+ra)a, a_max), excess
     # accrual paid out as liquid income; standard liquid EGM ───────────────

@@ -174,6 +174,7 @@ def solve_ensemble_host(x0: jnp.ndarray,
                         inner_eta: float = 1e-5,
                         direction_dtype=jnp.float32,
                         chunk: int | None = 64,
+                        fused: str = "auto",
                         verbose: bool = False,
                         records: list | None = None) -> tuple[jnp.ndarray, dict]:
     """Batched Boehl solve with a HOST-driven outer loop (production path).
@@ -200,6 +201,18 @@ def solve_ensemble_host(x0: jnp.ndarray,
     the solve runs as host-level chunked calls of one compiled chunk-width
     program (ragged B pads the last chunk with row-0 copies). None disables
     both the probe and the workaround.
+
+    fused: "auto" (default) routes the lockstep direction sweeps through the
+    BATCHED Pallas kernel pair (`ops/fused_sweep_batch`) when the model
+    declares the canonical one-asset EGM hook, directions are f32, and the
+    backend is a TPU — one kernel grid step advances ALL B paths one period,
+    so the fixed per-step sequencing cost is paid once per period per batch
+    instead of per path (round-3 verdict item 3: the vmapped-XLA sweeps were
+    why the B=64 solve paid 10x per-path cost). "pallas" forces it (interpret
+    mode off-TPU — for tests), "xla" keeps the vmapped XLA sweeps. The
+    batch-width miscompile probe is skipped on the kernel path (no vmapped
+    XLA direction program to miscompile; the kernel chunks itself by VMEM —
+    `kernel_batch_width`).
 
     Returns (x (B, n), info) with (B,)-shaped "residual_norm" plus scalar
     "iterations" / "inner_iterations" (lockstep counts).
@@ -250,8 +263,30 @@ def solve_ensemble_host(x0: jnp.ndarray,
         def jvp_one(x, v, ex):
             return jax.jvp(lambda z: F_one(z, ex), (x,), (v,))[1]
 
+    if fused not in ("auto", "pallas", "xla"):
+        raise ValueError(f"fused={fused!r}: expected 'auto'|'pallas'|'xla'")
+    from hank_tpu.ops.fused_sweep_batch import (make_fused_jvp_batch,
+                                                supports_fused_batch)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_fused = (fused == "pallas"
+                 or (fused == "auto" and on_tpu and mesh is None
+                     and direction_dtype == jnp.float32
+                     and supports_fused_batch(model)))
+    if use_fused and not supports_fused_batch(model):
+        raise ValueError("fused='pallas' requires the canonical one-asset "
+                         "EGM fused_prices hook (supports_fused_batch)")
+
     F_b = jax.vmap(F_one)
-    jvp_b = jax.vmap(jvp_one)
+    if use_fused:
+        _jvp_kernel = make_fused_jvp_batch(model, ss_initial, ss_ending,
+                                           interpret=not on_tpu)
+
+        def jvp_b(x, v, ex):
+            return _jvp_kernel(x, v, ex).astype(x_dtype)
+
+        chunk = None     # no vmapped XLA direction program to width-guard
+    else:
+        jvp_b = jax.vmap(jvp_one)
     solve_b = jax.vmap(solve_one)
     ray_b = jax.vmap(rayleigh_quotient)
 

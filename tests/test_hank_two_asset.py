@@ -189,3 +189,20 @@ def test_two_asset_fiscal_shock(ta_model, ta_ss):
     ss_row = np.asarray([float(ss.vars[k]) for k in names])
     dev = np.abs(path - ss_row).max(axis=1)
     assert dev[-1] < 0.1 * dev[0]
+
+
+def test_expect_income_unrolled_matches_einsum():
+    """The exact-lowerings elementwise expectation == the MXU einsum (CPU
+    f64 makes both exact; on TPU the unrolled form rounds ~1e-15 where the
+    emulated-f64 einsum rounds ~1.2e-10 — the round-4 residual-floor fix)."""
+    import numpy as np
+    from hank_tpu.config import exact_lowerings
+    from hank_tpu.models.hank_two_asset import _expect_income
+
+    rng = np.random.default_rng(11)
+    Vm = jnp.asarray(rng.normal(size=(8, 6, 5)))
+    Pi = jnp.asarray(rng.dirichlet(np.ones(5), size=5))
+    fast = _expect_income(Vm, Pi)
+    with exact_lowerings(True):
+        exact = _expect_income(Vm, Pi)
+    assert float(jnp.max(jnp.abs(fast - exact))) < 1e-14
