@@ -129,6 +129,34 @@ def load_jacobian(model, cache_dir: str | None = None):
         return jnp.asarray(z["J"])
 
 
+def _guard_on_device_ss_solve(model):
+    """Refuse a large SS solve on the axon TPU backend (cache-miss footgun).
+
+    The full-size two-asset VFI has CRASHED the axon TPU worker mid-solve
+    twice (rounds 3 and 4) — and a crashed worker can wedge the shared
+    remote-compile relay for everyone. A cache miss on a TPU measurement
+    job should never silently fall into that path: build the artifacts on
+    the CPU first (`scripts/build_artifacts.py`, whose f32-canonicalized
+    hash the TPU run then hits). Small state spaces (every test model, KS
+    bring-up probes) stay allowed.
+    """
+    import math as _math
+
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return
+    n_states = int(_math.prod(d.n for d in model.heterogeneity.values()))
+    if n_states > 4096 and not os.environ.get("HANK_TPU_ALLOW_DEVICE_SS"):
+        raise RuntimeError(
+            f"steady-state artifacts for {model.name!r} are not cached and "
+            f"this process runs on the TPU backend ({n_states} household "
+            "states — on-device VFI at this size has crashed the axon "
+            "worker). Pre-build on CPU: env -u PALLAS_AXON_POOL_IPS "
+            "JAX_PLATFORMS=cpu python scripts/build_artifacts.py ... "
+            "(or set HANK_TPU_ALLOW_DEVICE_SS=1 to override).")
+
+
 def get_or_solve(model, verbose: bool = False, cache: bool = True):
     """Steady states + J̄ with disk caching; the standard model-setup call."""
     from hank_tpu.solvers.steady_state import find_ss
@@ -136,6 +164,7 @@ def get_or_solve(model, verbose: bool = False, cache: bool = True):
 
     ss0 = load_steady_state(model, "initial") if cache else None
     if ss0 is None:
+        _guard_on_device_ss_solve(model)
         ss0 = find_ss(model, model.ss_initial, "initial", verbose)
         if cache:
             save_steady_state(ss0, model, "initial")
@@ -145,6 +174,7 @@ def get_or_solve(model, verbose: bool = False, cache: bool = True):
     else:
         ssT = load_steady_state(model, "ending") if cache else None
         if ssT is None:
+            _guard_on_device_ss_solve(model)
             ssT = find_ss(model, model.ss_ending, "ending", verbose)
             if cache:
                 save_steady_state(ssT, model, "ending")

@@ -61,7 +61,15 @@ def main():
     fused = make_fused_jvp_dir(model, ss0, ssT, exog,
                                interpret=jax.default_backend() == "cpu")
     fused_j = jax.jit(fused)
-    print(f"fused f32 JVP sweep:      {med(fused_j, x_ss, v)*1e3:8.1f} ms")
+    t_fused = med(fused_j, x_ss, v)
+    print(f"fused f32 JVP sweep:      {t_fused*1e3:8.1f} ms")
+    # Roofline/MFU: how far the measured sweep sits from the chip's own
+    # bounds (not just from XLA) — see scripts/roofline.py.
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from roofline import ks_sweep_counts, report
+    report("ks_fused_jvp_roofline", ks_sweep_counts(200, 7, Tm1), t_fused)
 
     from hank_tpu.ops.fused_sweep import make_fused_residual_fn
     R32 = jax.jit(make_fused_residual_fn(
