@@ -284,6 +284,29 @@ def solve_ensemble_host(x0: jnp.ndarray,
         def jvp_b(x, v, ex):
             return _jvp_kernel(x, v, ex).astype(x_dtype)
 
+        if fused == "auto":
+            # Compile-probe the batched kernel pair before committing the
+            # whole solve to it: Mosaic legality is shape/backend-dependent
+            # (the single-path kernels carry the same guard,
+            # ops/fused_sweep.py) and 'auto' must never turn a working
+            # round-3 XLA solve into a hard compile failure. One real call
+            # at the production shapes — its compile warms the cache the
+            # solve then reuses, so a passing probe costs nothing extra.
+            try:
+                probe_x = jnp.broadcast_to(x0[0].astype(jnp.float32),
+                                           (B, n))
+                jax.block_until_ready(
+                    _jvp_kernel(probe_x, jnp.full_like(probe_x, 1e-3),
+                                exog_batch))
+            except Exception as exc:            # Mosaic/XLA compile or run
+                import warnings
+
+                warnings.warn(
+                    "[ensemble] batched Pallas kernel pair failed on this "
+                    f"backend ({type(exc).__name__}); falling back to "
+                    "vmapped XLA direction sweeps")
+                use_fused = False
+    if use_fused:
         chunk = None     # no vmapped XLA direction program to width-guard
     else:
         jvp_b = jax.vmap(jvp_one)
