@@ -303,14 +303,22 @@ def _sweep_chunk(r_b, w_b, dr_b, dw_b, V_T, D0, grid,
     col = lambda p: p.astype(f32).T[:, :, None]            # noqa: E731  (Tm1, B, 1)
     r_c, w_c, dr_c, dw_c = col(r_b), col(w_b), col(dr_b), col(dw_b)
 
-    price_rev = pl.BlockSpec((1, B, 1), lambda i, T=Tm1: (T - 1 - i, 0, 0))
-    price_fwd = pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0))
-    full3 = pl.BlockSpec((n_e, B, na_pad), lambda i: (0, 0, 0))
-    full2 = pl.BlockSpec((B, na_pad), lambda i: (0, 0))
+    # Index maps must return i32 everywhere: under jax_enable_x64 a python
+    # literal 0 traces as an i64 constant and Mosaic fails to legalize the
+    # map's mixed-type func.return (first real-TPU compile of these
+    # kernels, 2026-08-19; the single-path kernels use whole-array specs
+    # and never hit it). The zero must be DERIVED from the i32 index arg
+    # (`i * 0`) — index maps may not capture traced constants.
+    price_rev = pl.BlockSpec((1, B, 1),
+                             lambda i, T=Tm1: (T - 1 - i, i * 0, i * 0))
+    price_fwd = pl.BlockSpec((1, B, 1), lambda i: (i, i * 0, i * 0))
+    full3 = pl.BlockSpec((n_e, B, na_pad), lambda i: (i * 0,) * 3)
+    full2 = pl.BlockSpec((B, na_pad), lambda i: (i * 0,) * 2)
     pol_rev = pl.BlockSpec((1, n_e, B, na_pad),
-                           lambda i, T=Tm1: (T - 1 - i, 0, 0, 0))
-    pol_fwd = pl.BlockSpec((1, n_e, B, na_pad), lambda i: (i, 0, 0, 0))
-    out_fwd = pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0))
+                           lambda i, T=Tm1: (T - 1 - i, i * 0, i * 0, i * 0))
+    pol_fwd = pl.BlockSpec((1, n_e, B, na_pad),
+                           lambda i: (i, i * 0, i * 0, i * 0))
+    out_fwd = pl.BlockSpec((1, B, 1), lambda i: (i, i * 0, i * 0))
 
     bwd = _make_bwd_kernel(B, na_pad, n_e, pi, eg,
                            float(beta), float(gamma), float(borrow_cons), n_a)
