@@ -27,11 +27,25 @@ def model_path(name: str) -> str:
     return os.path.join(_HERE, SHIPPED[name])
 
 
-def load_model(name: str, **overrides):
-    """Build a shipped model; `overrides` patch CompSpec fields (e.g. T=50)."""
+def load_model(name: str, params=None, **overrides):
+    """Build a shipped model; `overrides` patch CompSpec fields (e.g. T=50);
+    `params` patches model parameters (e.g. params={"portfolio_reg": 0.0}
+    for the unregularized two-asset split — A/B probes and the χ=0 limit).
+    Parameters are part of the artifact-cache model hash, so patched models
+    solve their own steady states."""
+    import dataclasses
+
     model = build_model_from_yaml(model_path(name))
+    if params:
+        unknown = set(params) - set(model.params)
+        if unknown:
+            raise KeyError(f"Unknown parameter override(s) {sorted(unknown)} "
+                           f"for model '{name}'; available: "
+                           f"{sorted(model.params)}")
+        merged = dict(model.params)
+        merged.update({k: float(v) for k, v in params.items()})
+        model = dataclasses.replace(model, params=merged)
     if overrides:
-        import dataclasses
         model = dataclasses.replace(
             model, compspec=dataclasses.replace(model.compspec, **overrides))
     return model

@@ -59,6 +59,34 @@ import jax.numpy as jnp
 
 from hank_tpu.ops.egm import interp_columns
 
+# Portfolio regularization (round 4, `portfolio_reg` = χ): the raw split
+# FOC g(a') = W_b − W_a is monotone but its slope g′ → 0 for wealth-rich
+# households (CRRA curvature vanishes as c grows), so the root a*(x) has
+# unbounded sensitivity 1/g′ to ANY fixed-precision evaluation noise in
+# the W surfaces — the measured round-3/4 TPU residual floor
+# (‖F_tpu(x*)‖ ≈ 6e-6 at the CPU root, identical under exact 1e-15
+# lowerings of every interpolation AND the income expectation;
+# BASELINE.md post-mortems). No evaluation-side fix reaches 1e-8 because
+# the accumulated ~1e-13 noise of the T-long W recursion — not the split
+# arithmetic — is what 1/g′ amplifies. The χ-regularizer reformulates
+# the selection: households pay a strictly-convex diversification penalty
+#     P(a', s) = χ · W̄(s,e) · (a' − s/2)² / max(s, s₁)
+# (W̄ = the mid-line continuation level (W_b+W_a)/2 at b'=a'=s/2, putting
+# the penalty in local marginal-utility units so its size is uniformly
+# O(χ) relative to each household's own stakes). The FOC gains the linear
+# term P_a = 2χ·W̄·(a'−s/2)/max(s,s₁), so the regularized slope is
+# bounded below by 2χ·W̄/s: noise amplification is capped at
+# δa* ≤ ε·s/(2χ·W̄) — for χ = 1e-3 and relative W noise ε/W̄ ~ 1e-13,
+# δa*/s ≲ 5e-11, far below the 1e-8 certification target. Where the raw
+# FOC is steep (g′ ≫ χW̄/s: poor/constrained households) the penalty is
+# negligible; where it is flat the household was near-indifferent and the
+# penalty selects the diversified split among near-optimal ones — a
+# smooth, economically-interpretable selection (utility loss is O(χ²·W̄·s)
+# at steep cells, ≤ χ·W̄·s/4 at flat ones). χ = 0 recovers the knife-edge
+# unregularized split exactly (the penalty term is dropped, not just
+# zeroed). The penalty is LINEAR in a' along each budget line, so the
+# analytic piecewise-quadratic root structure below is preserved verbatim.
+#
 # Portfolio-split FOC solve inside one Bellman step: g(a') =
 # G(s-a', a') with G = W_b - W_a precomputed on the lattice (ONE bilinear
 # per g evaluation, and the exact directional slope comes with it) is
@@ -370,15 +398,38 @@ def ValueFunction(value_next, xvals, model):
     # linearly convergent and the IFT step needed an extra jvp of g).
     G = Wb - Wa
 
-    def g_fun(a_s):
-        """FOC gap g = G(s - a', a') along the line, and its exact slope.
+    # Strictly-convex diversification penalty (module header): adds the
+    # LINEAR term pen_slope·(a' − s/2) to the FOC gap, bounding its slope
+    # below by pen_slope = 2χ·W̄/max(s, s₁) so the root's noise
+    # amplification is capped at s/(2χ) in relative-W units. W̄ is the
+    # mid-line continuation level — one extra pair of bilinears per
+    # Bellman step, constant along each budget line (the penalty must be
+    # linear in a' to preserve the exact quadratic-root solve below).
+    chi = float(p.get("portfolio_reg", 0.0))
+    if chi > 0.0:
+        mid = 0.5 * s2
+        wb_mid, _, _ = bilinear(Wb, bgrid, agrid, mid, mid)
+        wa_mid, _, _ = bilinear(Wa, bgrid, agrid, mid, mid)
+        pen_slope = (chi * (wb_mid + wa_mid)
+                     / jnp.maximum(s2, s_grid[1]))              # (n_s, n_e)
+    else:
+        pen_slope = None
 
-        g is increasing in a' (both continuation values are concave), so
-        gp = G_a - G_b > 0 away from flat-extrapolation regions.
+    def g_fun(a_s):
+        """FOC gap g = G(s - a', a') (+ penalty) along the line, and its
+        exact slope.
+
+        g is increasing in a' (both continuation values are concave and
+        the penalty is convex), so gp = G_a - G_b (+ pen_slope) > 0 away
+        from flat-extrapolation regions.
         """
         b_s = s2 - a_s
         gv, g_db, g_da = bilinear(G, bgrid, agrid, b_s, a_s)
-        return gv, g_da - g_db
+        gp = g_da - g_db
+        if pen_slope is not None:
+            gv = gv + pen_slope * (a_s - 0.5 * s2)
+            gp = gp + pen_slope
+        return gv, gp
 
     # Wide breakpoint pass: g at every cell-boundary crossing of the line
     # b' = s - a' (a-knots, b-knots, both endpoints), clipped into [0, s],

@@ -9,6 +9,7 @@ r, and a balanced-budget labor tax funds debt service plus the G shock.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -206,3 +207,69 @@ def test_expect_income_unrolled_matches_einsum():
     with exact_lowerings(True):
         exact = _expect_income(Vm, Pi)
     assert float(jnp.max(jnp.abs(fast - exact))) < 1e-14
+
+
+def test_load_model_param_override():
+    """`load_model(params=...)` patches model parameters and rejects typos."""
+    m0 = load_model("hank_two_asset", T=8)
+    assert m0.params["portfolio_reg"] == pytest.approx(1e-3)
+    m1 = load_model("hank_two_asset", T=8, params={"portfolio_reg": 0.0})
+    assert m1.params["portfolio_reg"] == 0.0
+    with pytest.raises(KeyError):
+        load_model("hank_two_asset", params={"portfolio_regg": 0.0})
+
+
+def test_portfolio_reg_pins_indifferent_splits(ta_model, ta_ss):
+    """The χ-regularizer makes the split well-conditioned at exact
+    indifference — the knife-edge case behind the round-3/4 TPU residual
+    floor (models/hank_two_asset.py module header).
+
+    With Vb ≡ Va the raw FOC gap is identically ~0 along every budget line
+    (every split is optimal) and the unregularized root is pure
+    noise/tie-break selection. The penalty must (a) select the diversified
+    split a* = s/2, and (b) bound the split's response to a 1e-9 relative
+    perturbation of the surfaces by ε·s/(2χ·W̄)-scale — the certification
+    mechanism for the two-asset TPU residual.
+    """
+    import dataclasses as dc
+
+    V = ta_ss.value
+    # Symmetric continuation: same concave surface for both assets.
+    Vsym = jnp.stack([V[0], V[0]])
+    xv = {k: jnp.asarray(float(ta_ss.vars[k])) for k in ("r", "ra", "tau", "w")}
+    from hank_tpu.models.hank_two_asset import ValueFunction
+
+    chi = ta_model.params["portfolio_reg"]
+    assert chi > 0.0
+    out0 = ValueFunction(Vsym, xv, ta_model)
+    polA = out0["A"][..., 1]                   # access branch
+    polB = out0["B"][..., 1]
+    tot = polA + jnp.maximum(polB, 0.0)
+    bgrid = ta_model.heterogeneity["liquid"].grid
+    agrid = ta_model.heterogeneity["illiquid"].grid
+    # interior = unclipped both ways: the richest cells hit the bgrid-top
+    # clip on B (b* = s/2 > b_max), which re-splits the savings by the box
+    # constraint rather than the FOC.
+    interior = ((polA > 1e-3) & (polB > 1e-3) & (tot > 1e-2)
+                & (polB < 0.95 * bgrid[-1]) & (polA < 0.95 * agrid[-1]))
+    # (a) diversified selection: a' ≈ s'/2 wherever the split is interior.
+    dev = jnp.abs(polA - 0.5 * tot) / jnp.maximum(tot, 1e-2)
+    assert float(jnp.max(jnp.where(interior, dev, 0.0))) < 5e-2
+
+    # (b) noise amplification is bounded: 1e-9 relative surface noise moves
+    # the access-branch policies by ≲ eps·s/(2χ) ≈ 1e-9·300/2e-3 ≈ 1.5e-4.
+    key = jax.random.PRNGKey(3)
+    noise = 1e-9 * Vsym * jax.random.normal(key, Vsym.shape)
+    out1 = ValueFunction(Vsym + noise, xv, ta_model)
+    dA = float(jnp.max(jnp.abs(out1["A"][..., 1] - polA)))
+    assert dA < 5e-4
+
+    # The χ = 0 knife-edge: same perturbation, unregularized split. The
+    # response is orders of magnitude larger (pure tie-break selection) —
+    # this is the measured TPU floor mechanism, kept as a regression witness
+    # that the test actually exercises the ill-conditioned regime.
+    m0 = dc.replace(ta_model, params={**ta_model.params, "portfolio_reg": 0.0})
+    o0 = ValueFunction(Vsym, xv, m0)
+    o1 = ValueFunction(Vsym + noise, xv, m0)
+    dA0 = float(jnp.max(jnp.abs(o1["A"][..., 1] - o0["A"][..., 1])))
+    assert dA0 > 10 * dA
