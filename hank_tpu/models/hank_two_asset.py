@@ -137,6 +137,18 @@ def access_process(n: int = 2, lam: float = 0.1):
     return grid, Pi
 
 
+def fused2_prices(xp, exog_paths, model):
+    """Price hook for the fused two-asset sweep kernel
+    (`ops/fused_sweep2.py`): the household consumes the (r, ra, w, tau)
+    endogenous columns directly (G enters only the fiscal residuals).
+    Declaring this hook asserts the Bellman step IS `ValueFunction` above —
+    the correctness contract tests/test_fused_sweep2.py checks.
+    """
+    endog = model.vars_of_type("endogenous")
+    idx = [endog.index(k) for k in ("r", "ra", "w", "tau")]
+    return tuple(xp[:, i] for i in idx)
+
+
 def _expect_income(Vm, Pi):
     """Income expectation W[b, a, e] = Σ_f Vm[b, a, f] · Pi[e, f].
 
@@ -263,6 +275,64 @@ def _interp_val_slope_hat(W: jnp.ndarray, grid: jnp.ndarray, q: jnp.ndarray,
     return jnp.moveaxis(val, 0, axis), jnp.moveaxis(slope, 0, axis)
 
 
+def _bilinear2_hat(Ws, bgrid, agrid, qb, qa):
+    """`_bilinear_hat` for SEVERAL stacked surfaces Ws (n_b, n_a, n_e, S) at
+    the SAME (qb, qa) queries — one hat-weight build + 5 einsums shared
+    across surfaces instead of S×(2 builds + 4 einsums) (the sweep's hot
+    loop evaluates W_b and W_a at the identical split point). Returns
+    (val, d/dqb, d/dqa), each (..., n_e, S); unused slope outputs are DCE'd
+    by XLA at call sites that discard them."""
+    Hb, dHb = _hat_weights_and_deriv(qb, bgrid)    # (..., n_e, n_b)
+    Ha, dHa = _hat_weights_and_deriv(qa, agrid)    # (..., n_e, n_a)
+    T1 = jnp.einsum("...eb,baes->...eas", Hb, Ws)
+    val = jnp.einsum("...ea,...eas->...es", Ha, T1)
+    da = jnp.einsum("...ea,...eas->...es", dHa, T1)
+    Td = jnp.einsum("...eb,baes->...eas", dHb, Ws)
+    db = jnp.einsum("...ea,...eas->...es", Ha, Td)
+    return val, db, da
+
+
+def _bilinear2_gather(Ws, bgrid, agrid, qb, qa):
+    """Gather-backend counterpart of `_bilinear2_hat`: per-surface
+    `_bilinear` calls (semantics identical to the unstacked form — the
+    exact-lowerings certification path must not change shape/op structure)."""
+    outs = [_bilinear(Ws[..., s], bgrid, agrid, qb, qa)
+            for s in range(Ws.shape[-1])]
+    return tuple(jnp.stack([o[j] for o in outs], axis=-1) for j in range(3))
+
+
+def _interp_fixed_axis1_hat(Ws, grid, q):
+    """Stacked surfaces Ws (n_b, n_k, n_e, S) interpolated along axis 1 at
+    queries q (n_q,) SHARED by every (b, e, s) — the no-access capped-accrual
+    evaluation point a' = min((1+ra)a, a_max) depends only on a. One tiny
+    (n_q, n_k) weight matrix + one einsum instead of the broadcast
+    (n_b, n_q, n_e, n_k) weights `_interp_val_slope_hat` would build.
+    Returns (n_b, n_q, n_e, S)."""
+    H, _ = _hat_weights_and_deriv(q, grid)         # (n_q, n_k)
+    return jnp.einsum("bkes,qk->bqes", Ws, H)
+
+
+def _interp_fixed_axis1_gather(Ws, grid, q):
+    """Gather-backend counterpart of `_interp_fixed_axis1_hat` (unchanged
+    per-surface `_interp_val_slope` structure for the exact path)."""
+    n_b, _, n_e, S = Ws.shape
+    q_full = jnp.broadcast_to(q[None, :, None], (n_b, q.shape[0], n_e))
+    return jnp.stack(
+        [_interp_val_slope(Ws[..., s], grid, q_full, axis=1)[0]
+         for s in range(S)], axis=-1)
+
+
+def _interp_fixed_axis1_hat(Ws, grid, q):
+    """Stacked surfaces Ws (n_b, n_k, n_e, S) interpolated along axis 1 at
+    queries q (n_q,) SHARED by every (b, e, s) — the no-access capped-accrual
+    evaluation point a' = min((1+ra)a, a_max) depends only on a. One tiny
+    (n_q, n_k) weight matrix + one einsum instead of the broadcast
+    (n_b, n_q, n_e, n_k) weights `_interp_val_slope_hat` would build.
+    Returns (n_b, n_q, n_e, S)."""
+    H, _ = _hat_weights_and_deriv(q, grid)         # (n_q, n_k)
+    return jnp.einsum("bkes,qk->bqes", Ws, H)
+
+
 def _use_hat_interp() -> bool:
     """Hat-basis (gather-free) interpolation on TPU; gathers elsewhere.
 
@@ -340,8 +410,10 @@ def ValueFunction(value_next, xvals, model):
 
     if _use_hat_interp():
         bilinear, interp_vs = _bilinear_hat, _interp_val_slope_hat
+        bilinear2, interp_fix1 = _bilinear2_hat, _interp_fixed_axis1_hat
     else:
         bilinear, interp_vs = _bilinear, _interp_val_slope
+        bilinear2, interp_fix1 = _bilinear2_gather, _interp_fixed_axis1_gather
 
     p = model.params
     beta, gamma = p["β"], p["γ"]
@@ -366,9 +438,12 @@ def ValueFunction(value_next, xvals, model):
     payout = a_raw - a_next                                     # ≥ 0, top only
     capped = a_raw >= agrid[-1]                                 # (n_a,)
     inc_n = payout[None, :, None] + y_e[None, None, :]          # (1, n_a, n_e)
-    Wb_n, _ = interp_vs(Wb, agrid,
-                                jnp.broadcast_to(a_next[None, :, None],
-                                                 (n_b, n_a, n_e)), axis=1)
+    # Both continuation surfaces at the shared capped-accrual point a_next
+    # (a function of a only): one stacked fixed-query interp — Wb_n feeds
+    # the liquid EGM here, Wa_n the no-access envelope below.
+    WW = jnp.stack([Wb, Wa], axis=-1)                           # (b, a, e, 2)
+    W_n = interp_fix1(WW, agrid, a_next)                        # (b, q, e, 2)
+    Wb_n, Wa_n = W_n[..., 0], W_n[..., 1]
     c_end_n = _crra_inv_marg(Wb_n, gamma)
     implied_b = (c_end_n + bgrid[:, None, None] - inc_n) / (1.0 + r)
     flat = lambda z: z.reshape(n_b, n_a * n_e)                  # noqa: E731
@@ -408,10 +483,10 @@ def ValueFunction(value_next, xvals, model):
     chi = float(p.get("portfolio_reg", 0.0))
     if chi > 0.0:
         mid = 0.5 * s2
-        wb_mid, _, _ = bilinear(Wb, bgrid, agrid, mid, mid)
-        wa_mid, _, _ = bilinear(Wa, bgrid, agrid, mid, mid)
-        pen_slope = (chi * (wb_mid + wa_mid)
-                     / jnp.maximum(s2, s_grid[1]))              # (n_s, n_e)
+        # Only the SUM W_b + W_a enters the penalty scale: one bilinear of
+        # the summed surface instead of two.
+        wsum_mid, _, _ = bilinear(Wb + Wa, bgrid, agrid, mid, mid)
+        pen_slope = chi * wsum_mid / jnp.maximum(s2, s_grid[1])  # (n_s, n_e)
     else:
         pen_slope = None
 
@@ -495,8 +570,11 @@ def ValueFunction(value_next, xvals, model):
     # Corners: marginal unit strictly better in one asset over [0, s].
     a_star = jnp.where(g_lo >= 0, 0.0, jnp.where(g_hi <= 0, s2, a_star))
     b_star = s2 - a_star
-    wb_s, wb_db, wb_da = bilinear(Wb, bgrid, agrid, b_star, a_star)
-    wa_s, wa_db, wa_da = bilinear(Wa, bgrid, agrid, b_star, a_star)
+    # Both surfaces at the identical split point: shared weight build.
+    w_ba, w_db, w_da = bilinear2(WW, bgrid, agrid, b_star, a_star)
+    wb_s, wa_s = w_ba[..., 0], w_ba[..., 1]
+    wb_db, wa_db = w_db[..., 0], w_db[..., 1]
+    wb_da, wa_da = w_da[..., 0], w_da[..., 1]
     # Marginal value of savings. At an interior split both surfaces agree
     # and the true envelope derivative w.r.t. any parameter θ is the
     # slope-weighted combination (−wa'·dW_b + wb'·dW_a)/g' (wb', wa' the
@@ -552,9 +630,8 @@ def ValueFunction(value_next, xvals, model):
     # below the cap (continuation value W_a at (b', a')); at the cap
     # da'/da = 0 and the no-access margin is worthless (the access branch,
     # mixed in with weight λ upstream, carries the cap's remaining value).
-    Wa_n, _ = interp_vs(
-        Wa, agrid, jnp.broadcast_to(a_next[None, :, None], (n_b, n_a, n_e)),
-        axis=1)
+    # Wa_n (Wa at the capped accrual point) comes from the stacked
+    # fixed-query interp in the no-access block above.
     Wa_n_at_b, _ = interp_vs(Wa_n, bgrid, pol_b_n, axis=0)
     Va_margin_n = jnp.where(capped[None, :, None], 0.0, Wa_n_at_b)
 

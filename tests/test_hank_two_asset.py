@@ -273,3 +273,23 @@ def test_portfolio_reg_pins_indifferent_splits(ta_model, ta_ss):
     o1 = ValueFunction(Vsym + noise, xv, m0)
     dA0 = float(jnp.max(jnp.abs(o1["A"][..., 1] - o0["A"][..., 1])))
     assert dA0 > 10 * dA
+
+
+def test_hat_vs_gather_bellman_step(ta_model, ta_ss, monkeypatch):
+    """The hat-basis (TPU-default) Bellman lowering == the gather lowering
+    on CPU f64 — guards the hat-only code paths (`_bilinear_hat`,
+    `_bilinear2_hat`, `_interp_fixed_axis1_hat`) that no other CPU test
+    exercises (caught a real operand-order bug in `_bilinear2_hat`)."""
+    V = ta_ss.value
+    xv = {k: jnp.asarray(float(ta_ss.vars[k])) for k in ("r", "ra", "tau", "w")}
+    from hank_tpu.models.hank_two_asset import ValueFunction
+
+    monkeypatch.setenv("HANK_TPU_BILINEAR", "gather")
+    monkeypatch.setenv("HANK_TPU_INTERP", "gather")
+    ref = ValueFunction(V, xv, ta_model)
+    monkeypatch.setenv("HANK_TPU_BILINEAR", "hat")
+    monkeypatch.setenv("HANK_TPU_INTERP", "hat")
+    hat = ValueFunction(V, xv, ta_model)
+    for k in ("Value", "B", "A", "C"):
+        err = float(jnp.max(jnp.abs(hat[k] - ref[k])))
+        assert err < 1e-8, (k, err)
