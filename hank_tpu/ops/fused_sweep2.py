@@ -718,14 +718,15 @@ def supports_fused_sweep2(model) -> bool:
 
 
 def make_fused2_jvp_dir(model, ss_initial, ss_ending, exog_paths,
-                        interpret: bool = False):
+                        interpret: bool = False, forward: str = "pallas"):
     """jvp_dir(x, v) with the two-asset household JVP in the backward
     Pallas kernel and the distribution push + assembly/residual JVP in XLA
     — the two-asset analogue of `fused_sweep.make_fused_jvp_dir`.
 
-    Stage 2 (forward kernel) will replace the XLA `forward_iteration` jvp;
-    the backward recursion is the dominant serial-depth term today
-    (egm.py measured split: backward ~98% of the two-asset sweep).
+    forward: "pallas" (default) pushes the distribution in the forward
+    Pallas kernel (`fused2_forward_jvp`); "xla" keeps the
+    `forward_iteration` jvp (fallback while probing new backends, and the
+    cross-check reference for tests).
     """
     from hank_tpu.blocks.assemble import assemble_full_xmat, residuals
     from hank_tpu.blocks.forward import forward_iteration
@@ -769,9 +770,221 @@ def make_fused2_jvp_dir(model, ss_initial, ss_ending, exog_paths,
             *args, *dargs, ssT.value, model32, interpret=interpret)
         policies = {k: p_[:Tm1] for k, p_ in policies.items()}
         dpolicies = {k: p_[:Tm1] for k, p_ in dpolicies.items()}
-        aggs, daggs = jax.jvp(
-            lambda pol: forward_iteration(pol, model32, ss0.D.astype(f32)),
-            (policies,), (dpolicies,))
+        if forward == "pallas":
+            aggs, daggs = fused2_forward_jvp(policies, dpolicies,
+                                             ss0.D, model32,
+                                             interpret=interpret)
+        else:
+            aggs, daggs = jax.jvp(
+                lambda pol: forward_iteration(pol, model32,
+                                              ss0.D.astype(f32)),
+                (policies,), (dpolicies,))
         return jax.jvp(tail, (x32, aggs), (v32, daggs))[1]
 
     return jvp_dir
+
+
+# ───────────────────────── forward (distribution) kernel ────────────────────
+# Flat-state design: per (e, acc) group the distribution lives as a (1024, 1)
+# column over flattened states s = b*n_a + a (800 real). One period is, per
+# group, a separable-GEMM joint lottery:
+#     D2'[i, j] = sum_s hat_i(pol_b[s]) * hat_j(pol_a[s]) * D[s]
+#               = dot_TN(HB, D ⊙ HA)          (contract the 1024 sublanes)
+# followed by a static-GEMM layout flatten back to a column
+#     F1 = EFAT @ D2'   (EFAT[s, i] = 1 iff i == b(s));  D'[s] = Σ_j MSEL⊙F1
+# and compile-time-constant income/access mixing FMAs. Tangents add two more
+# TN GEMMs (surface tangent + lottery-slope terms). Aggregates are
+# mass-weighted lane reductions emitted per period.
+
+
+def _make_fwd2_kernel(Tm1: int, n_b: int, n_a: int, n_e: int,
+                      pi, lam: float, *, b0: float, btop: float,
+                      a0: float, atop: float):
+    """Forward dual lottery kernel, grid over t. Policy blocks stream in as
+    (1, n_e, 1024, 1) flat columns per branch; D carries live in VMEM."""
+    S = 8 * _N                                    # 1024 flat-state slots
+
+    def kernel(pbn_ref, dpbn_ref, pan_ref, dpan_ref, cn_ref, dcn_ref,
+               pba_ref, dpba_ref, paa_ref, dpaa_ref, ca_ref, dca_ref,
+               d0_ref,                             # (n_e, 2, S, 1)
+               BKN, BGLO, BGHI,                    # (S, N) static b-knot tables
+               AKN, AGLO, AGHI,                    # (S, N) static a-knot tables
+               EFAT, MSEL,                         # (S, N) static flatteners
+               aggB_ref, daggB_ref, aggA_ref, daggA_ref,   # out (1, 1)
+               aggC_ref, daggC_ref,
+               D_scr, dD_scr):                     # scratch (n_e, 2, S, 1)
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for e in range(n_e):
+                for acc in range(2):
+                    D_scr[e, acc] = d0_ref[e, acc]
+                    dD_scr[e, acc] = jnp.zeros((S, 1), f32)
+
+        tn = (((0,), (0,)), ((), ()))
+
+        def push(pol_b, dpol_b, pol_a, dpol_a, D, dD):
+            """One group's joint-lottery push -> flat (S, 1) column pair."""
+            HB, HBdq = _hat_q(pol_b, 1.0, BKN[:, :], BGLO[:, :], BGHI[:, :],
+                              b0, btop)
+            HA, HAdq = _hat_q(pol_a, 1.0, AKN[:, :], AGLO[:, :], AGHI[:, :],
+                              a0, atop)
+            U = D * HA
+            dU = dD * HA + (D * dpol_a) * HAdq
+            D2 = jax.lax.dot_general(HB, U, tn, preferred_element_type=f32)
+            dD2 = (jax.lax.dot_general(HB, dU, tn, preferred_element_type=f32)
+                   + jax.lax.dot_general(HBdq * dpol_b, U, tn,
+                                         preferred_element_type=f32))
+            flat = lambda M: _lane_red(MSEL[:, :] * _nn(EFAT[:, :], M))  # noqa: E731
+            return flat(D2), flat(dD2)
+
+        halves = []                                # per (e): summed-over-acc
+        pols = []
+        for e in range(n_e):
+            pb_n, dpb_n = pbn_ref[0, e], dpbn_ref[0, e]
+            pa_n, dpa_n = pan_ref[0, e], dpan_ref[0, e]
+            c_n, dc_n = cn_ref[0, e], dcn_ref[0, e]
+            pb_a, dpb_a = pba_ref[0, e], dpba_ref[0, e]
+            pa_a, dpa_a = paa_ref[0, e], dpaa_ref[0, e]
+            c_a, dc_a = ca_ref[0, e], dca_ref[0, e]
+            h0, dh0 = push(pb_n, dpb_n, pa_n, dpa_n,
+                           D_scr[e, 0], dD_scr[e, 0])
+            h1, dh1 = push(pb_a, dpb_a, pa_a, dpa_a,
+                           D_scr[e, 1], dD_scr[e, 1])
+            halves.append((h0 + h1, dh0 + dh1))
+            pols.append(((pb_n, dpb_n, pa_n, dpa_n, c_n, dc_n),
+                         (pb_a, dpb_a, pa_a, dpa_a, c_a, dc_a)))
+
+        aggB = jnp.zeros((1, 1), f32)
+        daggB = jnp.zeros((1, 1), f32)
+        aggA = jnp.zeros((1, 1), f32)
+        daggA = jnp.zeros((1, 1), f32)
+        aggC = jnp.zeros((1, 1), f32)
+        daggC = jnp.zeros((1, 1), f32)
+        for e in range(n_e):
+            mixed = pi[0][e] * halves[0][0]
+            dmixed = pi[0][e] * halves[0][1]
+            for fi in range(1, n_e):
+                mixed = mixed + pi[fi][e] * halves[fi][0]
+                dmixed = dmixed + pi[fi][e] * halves[fi][1]
+            for acc, wgt in ((0, 1.0 - lam), (1, lam)):
+                Dn = wgt * mixed
+                dDn = wgt * dmixed
+                D_scr[e, acc] = Dn
+                dD_scr[e, acc] = dDn
+                pb, dpb, pa, dpa, cc, dcc = pols[e][acc]
+                red = lambda x: jnp.sum(x, axis=0, keepdims=True).reshape(1, 1)  # noqa: E731
+                aggB += red(pb * Dn)
+                daggB += red(dpb * Dn + pb * dDn)
+                aggA += red(pa * Dn)
+                daggA += red(dpa * Dn + pa * dDn)
+                aggC += red(cc * Dn)
+                daggC += red(dcc * Dn + cc * dDn)
+
+        aggB_ref[0, :] = aggB[0]
+        daggB_ref[0, :] = daggB[0]
+        aggA_ref[0, :] = aggA[0]
+        daggA_ref[0, :] = daggA[0]
+        aggC_ref[0, :] = aggC[0]
+        daggC_ref[0, :] = daggC[0]
+
+    return kernel
+
+
+def _fwd2_statics(model):
+    liquid = model.heterogeneity["liquid"]
+    illiq = model.heterogeneity["illiquid"]
+    n_b, n_a = liquid.n, illiq.n
+    S = 8 * _N
+    bp = _pad_grid(np.asarray(liquid.grid, np.float64), _N)
+    ap = _pad_grid(np.asarray(illiq.grid, np.float64), _N)
+    bglo, bghi = _hat_tables(bp)
+    aglo, aghi = _hat_tables(ap)
+    bcS = lambda row: np.broadcast_to(row[None, :], (S, _N)).copy()  # noqa: E731
+    s_idx = np.arange(S)
+    b_of_s = s_idx // n_a
+    a_of_s = s_idx % n_a
+    valid = b_of_s < n_b
+    efat = np.zeros((S, _N), np.float32)
+    efat[s_idx[valid], b_of_s[valid]] = 1.0
+    msel = np.zeros((S, _N), np.float32)
+    msel[s_idx[valid], a_of_s[valid]] = 1.0
+    return tuple(jnp.asarray(x) for x in (
+        bcS(bp), bcS(bglo), bcS(bghi), bcS(ap), bcS(aglo), bcS(aghi),
+        efat, msel))
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _fwd2_kernel_call(flat_pols, d0, statics, *, meta, interpret=False):
+    (Tm1, n_b, n_a, n_e, pi, lam, b0, btop, a0, atop) = meta
+    S = 8 * _N
+    kernel = _make_fwd2_kernel(Tm1, n_b, n_a, n_e, pi, lam,
+                               b0=b0, btop=btop, a0=a0, atop=atop)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    pol_blk = pl.BlockSpec((1, n_e, S, 1),
+                           lambda i: (i, i * 0, i * 0, i * 0))
+    out_blk = pl.BlockSpec((1, 1), lambda i: (i, i * 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(Tm1,),
+        out_shape=(jax.ShapeDtypeStruct((Tm1, 1), f32),) * 6,
+        in_specs=[pol_blk] * 12 + [vmem] * (1 + len(statics)),
+        out_specs=(out_blk,) * 6,
+        scratch_shapes=[pltpu.VMEM((n_e, 2, S, 1), f32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*flat_pols, d0, *statics)
+
+
+def fused2_forward_jvp(policies, dpolicies, D0, model,
+                       interpret: bool = False):
+    """Dual distribution push + aggregation in the forward Pallas kernel.
+
+    policies/dpolicies: {B, A, C} dicts of (T-1, n_b, n_a, n_e, 2) paths
+    (from `fused2_policies_jvp`). Returns (aggs, daggs) dicts of (T-1,)
+    aggregate paths — semantics of `blocks/forward.forward_iteration` under
+    jvp (same boundary-clipped Young lottery, i.i.d.-access + income mixing,
+    aggregate-after-update convention)."""
+    liquid = model.heterogeneity["liquid"]
+    illiq = model.heterogeneity["illiquid"]
+    income = model.heterogeneity["income"]
+    access = model.heterogeneity["access"]
+    n_b, n_a, n_e = liquid.n, illiq.n, income.n
+    S = 8 * _N
+    Tm1 = next(iter(policies.values())).shape[0]
+
+    def flat(p):                                   # (T-1, b, a, e) per acc
+        x = jnp.transpose(p, (0, 3, 1, 2)).reshape(Tm1, n_e, n_b * n_a, 1)
+        return jnp.pad(x.astype(f32), ((0, 0), (0, 0),
+                                       (0, S - n_b * n_a), (0, 0)))
+
+    flat_pols = []
+    for key in ("B", "A", "C"):
+        for acc in (0, 1):
+            flat_pols.append(flat(policies[key][..., acc]))
+            flat_pols.append(flat(dpolicies[key][..., acc]))
+    # Kernel arg order: (pbn, dpbn, pan, dpan, cn, dcn, pba, dpba, ...):
+    # regroup from (B0,dB0,B1,dB1, A0,dA0,A1,dA1, C0,dC0,C1,dC1).
+    ix = [0, 1, 4, 5, 8, 9, 2, 3, 6, 7, 10, 11]
+    flat_pols = tuple(flat_pols[i] for i in ix)
+
+    d0 = jnp.transpose(D0.astype(f32), (2, 3, 0, 1)).reshape(
+        n_e, 2, n_b * n_a, 1)
+    d0 = jnp.pad(d0, ((0, 0), (0, 0), (0, S - n_b * n_a), (0, 0)))
+
+    statics = _fwd2_statics(model)
+    pi = tuple(tuple(float(v) for v in row)
+               for row in np.asarray(income.transition))
+    lam = float(np.asarray(access.transition)[0, 1])
+    bgrid = np.asarray(liquid.grid)
+    agrid = np.asarray(illiq.grid)
+    meta = (Tm1, n_b, n_a, n_e, pi, lam,
+            float(bgrid[0]), float(bgrid[-1]),
+            float(agrid[0]), float(agrid[-1]))
+    outs = _fwd2_kernel_call(flat_pols, d0, statics, meta=meta,
+                             interpret=interpret)
+    aggB, daggB, aggA, daggA, aggC, daggC = [o[:, 0] for o in outs]
+    return ({"B": aggB, "A": aggA, "C": aggC},
+            {"B": daggB, "A": daggA, "C": daggC})

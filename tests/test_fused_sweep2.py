@@ -64,3 +64,28 @@ def test_fused2_jvp_matches_xla(setup, monkeypatch):
         scale = float(jnp.max(jnp.abs(ref)))
         err = float(jnp.max(jnp.abs(out - ref)))
         assert err < 5e-5 * max(scale, 1.0), (trial, err, scale)
+
+
+def test_fused2_forward_kernel_matches_xla(setup, monkeypatch):
+    """Forward Pallas kernel (flat-state separable-GEMM joint lottery) ==
+    jvp of `forward_iteration` — same policies in, aggregate paths out."""
+    monkeypatch.setenv("HANK_TPU_BILINEAR", "hat")
+    monkeypatch.setenv("HANK_TPU_INTERP", "hat")
+    model, ss, exog, x_ss = setup
+    F32 = make_full_residual_fn(cast_model(model, f32), cast_ss(ss, f32),
+                                cast_ss(ss, f32), cast_paths(exog, f32))
+    jvp_pallas = make_fused2_jvp_dir(model, ss, ss, exog, interpret=True,
+                                     forward="pallas")
+    jvp_xlafwd = make_fused2_jvp_dir(model, ss, ss, exog, interpret=True,
+                                     forward="xla")
+    rng = np.random.default_rng(11)
+    x = x_ss + 0.005 * jnp.asarray(rng.normal(size=x_ss.shape))
+    v = jnp.asarray(rng.normal(size=x_ss.shape))
+    ref = jax.jvp(F32, (x.astype(f32),), (v.astype(f32),))[1]
+    a = jvp_xlafwd(x, v)
+    b = jvp_pallas(x, v)
+    scale = float(jnp.max(jnp.abs(ref)))
+    # kernel-vs-kernel: the two forwards consume identical policies, so
+    # they must agree even more tightly than either does with `ref`.
+    assert float(jnp.max(jnp.abs(b - a))) < 2e-5 * max(scale, 1.0)
+    assert float(jnp.max(jnp.abs(b - ref))) < 5e-5 * max(scale, 1.0)
