@@ -760,7 +760,7 @@ def make_fused2_jvp_dir(model, ss_initial, ss_ending, exog_paths,
                                    ss0.vars, ssT.vars)
         return residuals(x_mat, model32)
 
-    def jvp_dir(x, v):
+    def _run(x, v):
         x32 = x.astype(f32)
         v32 = v.astype(f32)
         ps, dps = jax.jvp(price_map, (x32,), (v32,))
@@ -779,8 +779,15 @@ def make_fused2_jvp_dir(model, ss_initial, ss_ending, exog_paths,
                 lambda pol: forward_iteration(pol, model32,
                                               ss0.D.astype(f32)),
                 (policies,), (dpolicies,))
-        return jax.jvp(tail, (x32, aggs), (v32, daggs))[1]
+        return jax.jvp(tail, (x32, aggs), (v32, daggs))
 
+    def jvp_dir(x, v):
+        return _run(x, v)[1]
+
+    def residual32(x):
+        return _run(x, jnp.zeros_like(x))[0]
+
+    jvp_dir._residual32 = residual32
     return jvp_dir
 
 
@@ -988,3 +995,12 @@ def fused2_forward_jvp(policies, dpolicies, D0, model,
     aggB, daggB, aggA, daggA, aggC, daggC = [o[:, 0] for o in outs]
     return ({"B": aggB, "A": aggA, "C": aggC},
             {"B": daggB, "A": daggA, "C": daggC})
+
+
+def make_fused2_residual_fn(model, ss_initial, ss_ending, exog_paths,
+                            interpret: bool = False):
+    """F32(x) primal residual via the fused two-asset kernel pair (zero
+    tangent) — the mixed-schedule counterpart of
+    `fused_sweep.make_fused_residual_fn`."""
+    return make_fused2_jvp_dir(model, ss_initial, ss_ending, exog_paths,
+                               interpret=interpret)._residual32

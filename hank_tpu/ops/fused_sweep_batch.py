@@ -67,8 +67,16 @@ def kernel_batch_width(n_a_pad: int, B: int) -> int:
     streamed blocks and double-buffering). Power-of-two widths keep the
     sublane tiling whole.
     """
-    budget = 90e6
-    per_b = 4 * n_a_pad * n_a_pad * 4.0
+    # Round-4 real-TPU measurement: the first B=64 compile at n_a_pad=256
+    # died with "Ran out of memory in memory space vmem. Used 135.52M of
+    # 128.00M — register allocator spill slots in _sweep_chunk" (the
+    # previous 4-temps estimate with a 90 MB budget picked width 64). The
+    # register allocator keeps ~8 (B, n_a, n_a) f32 intermediates of the
+    # forward lottery live across the unrolled e-loop, so budget for 8 and
+    # leave half the 128 MB core for carries/streamed blocks/double
+    # buffering.
+    budget = 60e6
+    per_b = 8 * n_a_pad * n_a_pad * 4.0
     w = int(budget / per_b)
     width = 1
     while width * 2 <= min(w, 64):

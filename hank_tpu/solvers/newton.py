@@ -349,14 +349,26 @@ def make_path_solver(
         # model's household block matches it and we're on TPU (interpret mode
         # elsewhere is correct but slow); "pallas" forces it (interpreted off
         # TPU — for tests); "xla" forces the plain jvp-through-scans path.
+        from hank_tpu.ops.fused_sweep2 import (make_fused2_jvp_dir,
+                                               make_fused2_residual_fn,
+                                               supports_fused_sweep2)
+
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        use_fused = (direction_mode == "pallas"
-                     or (direction_mode == "auto" and on_tpu
-                         and direction_dtype == jnp.float32
-                         and supports_fused_sweep(model)))
+        wants_fused = (direction_mode == "pallas"
+                       or (direction_mode == "auto" and on_tpu
+                           and direction_dtype == jnp.float32))
+        if wants_fused and supports_fused_sweep(model):
+            makers = (make_fused_jvp_dir, make_fused_residual_fn)
+        elif wants_fused and supports_fused_sweep2(model):
+            # Two-asset family: backward+forward dual kernel pair
+            # (ops/fused_sweep2.py) under the same probe/fallback contract.
+            makers = (make_fused2_jvp_dir, make_fused2_residual_fn)
+        else:
+            makers = None
+        use_fused = makers is not None
         if use_fused:
-            fused = make_fused_jvp_dir(model, ss_initial, ss_ending,
-                                       exog_paths, interpret=not on_tpu)
+            fused = makers[0](model, ss_initial, ss_ending,
+                              exog_paths, interpret=not on_tpu)
             # Pre-flight: compile + run one sweep NOW. A Mosaic kernel that
             # cannot compile for this shape (e.g. the remote AOT compile
             # helper is unavailable and the shape is not in the persistent
@@ -381,8 +393,8 @@ def make_path_solver(
             def jvp_dir(x, v):
                 return fused(x, v).astype(x.dtype)
 
-            _R32 = make_fused_residual_fn(model, ss_initial, ss_ending,
-                                          exog_paths, interpret=not on_tpu)
+            _R32 = makers[1](model, ss_initial, ss_ending,
+                             exog_paths, interpret=not on_tpu)
 
             def F32(x):
                 return _R32(x).astype(x.dtype)
