@@ -889,12 +889,16 @@ def _make_fwd2_kernel(Tm1: int, n_b: int, n_a: int, n_e: int,
                 aggC += red(cc * Dn)
                 daggC += red(dcc * Dn + cc * dDn)
 
-        aggB_ref[0, :] = aggB[0]
-        daggB_ref[0, :] = daggB[0]
-        aggA_ref[0, :] = aggA[0]
-        daggA_ref[0, :] = daggA[0]
-        aggC_ref[0, :] = aggC[0]
-        daggC_ref[0, :] = daggC[0]
+        # Outputs are FULL (Tm1, 1) blocks revisited every grid step (the
+        # TPU lowering rejects (1, 1) blocks: the last two block dims must
+        # be (8k, 128k) or the whole array); each step writes its own row —
+        # the same dynamic-sublane store the 1-asset kernel uses.
+        aggB_ref[pl.ds(step, 1), :] = aggB
+        daggB_ref[pl.ds(step, 1), :] = daggB
+        aggA_ref[pl.ds(step, 1), :] = aggA
+        daggA_ref[pl.ds(step, 1), :] = daggA
+        aggC_ref[pl.ds(step, 1), :] = aggC
+        daggC_ref[pl.ds(step, 1), :] = daggC
 
     return kernel
 
@@ -931,7 +935,7 @@ def _fwd2_kernel_call(flat_pols, d0, statics, *, meta, interpret=False):
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     pol_blk = pl.BlockSpec((1, n_e, S, 1),
                            lambda i: (i, i * 0, i * 0, i * 0))
-    out_blk = pl.BlockSpec((1, 1), lambda i: (i, i * 0))
+    out_blk = pl.BlockSpec((Tm1, 1), lambda i: (i * 0, i * 0))
     return pl.pallas_call(
         kernel,
         grid=(Tm1,),
