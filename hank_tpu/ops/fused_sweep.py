@@ -158,9 +158,25 @@ def _gather_lanes(idx, *arrays):
             for a in arrays]
 
 
+def _unroll_factor() -> int:
+    """Per-step time-loop unroll for the fused kernels (HANK_TPU_UNROLL).
+
+    The KS sweep is bound by the fixed per-step sequencing cost
+    (~47 µs/step of a ~15 µs/step vector workload — BASELINE.md roofline);
+    unrolling U kernel steps per fori_loop iteration amortizes the loop
+    control/layout overhead across U periods. Default 1 (off) until a
+    measured win; the compiled kernel is per-U (new Mosaic shape =
+    one remote AOT compile), so flip it deliberately.
+    """
+    u = int(os.environ.get("HANK_TPU_UNROLL", "1"))
+    if u < 1 or u > 8:
+        raise ValueError(f"HANK_TPU_UNROLL={u}: expected 1..8")
+    return u
+
+
 def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
                              beta: float, gamma: float, borrow_cons: float,
-                             n_real: int):
+                             n_real: int, unroll: int = 1):
     """Kernel body: backward dual EGM scan then forward dual lottery scan.
 
     `n_a` is the VMEM lane width (padded to a multiple of 128 by the caller
@@ -196,9 +212,8 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
 
         # ── Backward dual EGM recursion: t = Tm1-1 … 0 ────────────────────
         # Semantics: models/krusell_smith.py::ValueFunction (KrusellSmith.jl:43-83).
-        def bstep(i, carry):
+        def bstep_at(t, carry):
             V, dV = carry
-            t = jnp.asarray(Tm1 - 1, i32) - i
             r = r_ref[t]
             w = w_ref[t]
             dr = dr_ref[t]
@@ -262,8 +277,27 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
 
         # int32 loop bounds: under jax_enable_x64 a python-int bound makes the
         # traced index int64, which mismatches Mosaic's i32 loop carry.
-        jax.lax.fori_loop(jnp.asarray(0, i32), jnp.asarray(Tm1, i32), bstep,
-                          (vT_ref[:, :], jnp.zeros((n_e, n_a), f32)))
+        # With unroll > 1 the main loop advances `unroll` periods per
+        # iteration (amortizing per-step sequencing overhead) and the
+        # static remainder steps run outside the loop.
+        def _run_loop(step_at, reverse, init):
+            n_iter = Tm1 // unroll
+            def body(j, carry):
+                i0 = j * jnp.asarray(unroll, i32)
+                for k in range(unroll):
+                    i = i0 + jnp.asarray(k, i32)
+                    t = jnp.asarray(Tm1 - 1, i32) - i if reverse else i
+                    carry = step_at(t, carry)
+                return carry
+            carry = jax.lax.fori_loop(jnp.asarray(0, i32),
+                                      jnp.asarray(n_iter, i32), body, init)
+            for i in range(n_iter * unroll, Tm1):
+                t = jnp.asarray(Tm1 - 1 - i if reverse else i, i32)
+                carry = step_at(t, carry)
+            return carry
+
+        _run_loop(bstep_at, True,
+                  (vT_ref[:, :], jnp.zeros((n_e, n_a), f32)))
 
         # ── Forward dual push-forward: t = 0 … Tm1-1 ──────────────────────
         # Semantics: ops/transition.lottery_apply + exog_apply,
@@ -280,7 +314,7 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
         g_bot = grid2[:, 0:1]
         g_top = grid2[:, n_real - 1:n_real]
 
-        def fstep(t, carry):
+        def fstep_at(t, carry):
             D, dD = carry
             pol = pol_scr[t]
             dpol = dpol_scr[t]
@@ -338,18 +372,18 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
                 dcg * D_new + cg * dD_new).reshape(1, 1)
             return D_new, dD_new
 
-        jax.lax.fori_loop(jnp.asarray(0, i32), jnp.asarray(Tm1, i32), fstep,
-                          (d0_ref[:, :], jnp.zeros((n_e, n_a), f32)))
+        _run_loop(fstep_at, False,
+                  (d0_ref[:, :], jnp.zeros((n_e, n_a), f32)))
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("beta", "gamma", "borrow_cons",
-                                             "interpret"))
+                                             "interpret", "unroll"))
 def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
                     V_T, D0, grid, e_grid, Pi,
                     *, beta: float, gamma: float, borrow_cons: float,
-                    interpret: bool = False):
+                    interpret: bool = False, unroll: int = 1):
     """JVP of the household map (r, w paths) ↦ aggregate-KD path, fused.
 
     Args (all cast to f32; state arrays in (n_a, n_e) convention — they are
@@ -391,7 +425,7 @@ def fused_sweep_jvp(r_path, w_path, dr_path, dw_path,
     tile_e = lambda v: jnp.tile(v[None, :], (n_e, 1))  # noqa: E731
     kernel = _make_fused_sweep_kernel(Tm1, na_pad, n_e,
                                       float(beta), float(gamma),
-                                      float(borrow_cons), n_a)
+                                      float(borrow_cons), n_a, unroll=unroll)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     agg, dagg, aggc, daggc = pl.pallas_call(
@@ -517,6 +551,8 @@ def _build_fused(model, ss_initial, ss_ending, exog_paths,
     s_ss = jnp.full((n_pad,), jnp.asarray(s_ssv, f32).reshape(-1)[0])
     zeros_pad = jnp.zeros((n_pad,), f32)
 
+    unroll = _unroll_factor()
+
     def sweep(x32, v32):
         rs, drs = jax.jvp(price_map, (x32,), (v32,))
         agg, dagg, aggc, daggc = fused_sweep_jvp(
@@ -526,7 +562,8 @@ def _build_fused(model, ss_initial, ss_ending, exog_paths,
             jnp.concatenate([drs[1], zeros_pad]),
             ssT.value, ss0.D, wealth.grid, prod.grid, prod.transition,
             beta=float(p["β"]), gamma=float(p["γ"]),
-            borrow_cons=float(p["borrow_cons"]), interpret=interpret)
+            borrow_cons=float(p["borrow_cons"]), interpret=interpret,
+            unroll=unroll)
         aggs = {policy_var: agg[:Tm1]}
         daggs = {policy_var: dagg[:Tm1]}
         if c_key is not None:

@@ -127,8 +127,14 @@ def _hat_q(q, dq, kn, glo, ghi, k0: float, kN: float):
     interior = (q > k0) & (q < kN)
     rising = interior & (glo < p) & (p < kn)
     falling = interior & (kn < p) & (p < ghi)
-    dHdq = (jnp.where(rising, 1.0, 0.0) / (kn - glo)
-            - jnp.where(falling, 1.0, 0.0) / (ghi - kn))
+    # Literals pinned to f32: jnp.where(bool, 1.0, 0.0) has no array operand
+    # to infer dtype from, so under jax_enable_x64 both branches trace as
+    # f64 vectors — Mosaic's vector-layout inference CHECK-crashes on any
+    # 64-bit vector (measured on v5e: "bitwidth_ <= 32" abort).
+    onef = jnp.asarray(1.0, f32)
+    zerof = jnp.asarray(0.0, f32)
+    dHdq = (jnp.where(rising, onef, zerof) / (kn - glo)
+            - jnp.where(falling, onef, zerof) / (ghi - kn))
     return H, dHdq * dq
 
 
@@ -147,8 +153,14 @@ def _outer_bc(row):
 
 
 def _col2row(col):
-    """(128, 1) -> (1, 128) via a TN dot against the identity."""
-    eye = jnp.eye(_N, dtype=f32)
+    """(128, 1) -> (1, 128) via a TN dot against the identity.
+
+    The identity is built from i32 iotas (jnp.eye's internal iota is int64
+    under jax_enable_x64 — a 64-bit vector Mosaic cannot lay out)."""
+    rows = jax.lax.broadcasted_iota(i32, (_N, _N), 0)
+    cols = jax.lax.broadcasted_iota(i32, (_N, _N), 1)
+    eye = jnp.where(rows == cols, jnp.asarray(1.0, f32),
+                    jnp.asarray(0.0, f32))
     return jax.lax.dot_general(col, eye, (((0,), (0,)), ((), ())),
                                preferred_element_type=f32)
 

@@ -78,3 +78,46 @@ def ks_small():
 def ks_small_ss(ks_small):
     """Initial steady state of the small KS model (disk-cached)."""
     return solve_ss_cached(ks_small)
+
+
+def assert_no_64bit_vectors_in_kernels(fn, *args):
+    """Trace `fn(*args)` and assert no Pallas kernel contains a 64-bit
+    VECTOR value.
+
+    Under jax_enable_x64, unpinned literals breed f64/i64 vectors inside
+    kernel bodies (jnp.where(bool, 1.0, 0.0) with no array operand;
+    jnp.eye's internal int64 iota) — interpret mode runs them happily, but
+    Mosaic's vector-layout inference CHECK-crashes on ANY 64-bit vector
+    ("bitwidth_ <= 32" abort, measured on v5e). Scalar i64 (ref indices
+    from python ints) is fine — only shaped avals are checked.
+    """
+    hits = []
+
+    def scan(jx):
+        for eqn in jx.eqns:
+            for var in list(eqn.invars) + list(eqn.outvars):
+                av = getattr(var, "aval", None)
+                if (av is not None and hasattr(av, "dtype")
+                        and av.dtype.itemsize == 8 and getattr(av, "shape", ())):
+                    import jax._src.source_info_util as siu
+                    hits.append((eqn.primitive.name, str(av.dtype),
+                                 tuple(av.shape), siu.summarize(eqn.source_info)))
+            for v in eqn.params.values():
+                if hasattr(v, "eqns"):
+                    scan(v)
+                elif hasattr(v, "jaxpr") and hasattr(v.jaxpr, "eqns"):
+                    scan(v.jaxpr)
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                inner = eqn.params["jaxpr"]
+                scan(inner.jaxpr if hasattr(inner, "jaxpr") else inner)
+            for v in eqn.params.values():
+                if hasattr(v, "eqns"):
+                    walk(v)
+                elif hasattr(v, "jaxpr") and hasattr(v.jaxpr, "eqns"):
+                    walk(v.jaxpr)
+
+    walk(jax.jit(fn).trace(*args).jaxpr.jaxpr)
+    assert not hits, f"64-bit vectors inside Pallas kernels: {hits[:8]}"

@@ -107,3 +107,12 @@ def test_ds_residual_hank_one_asset():
     x = x_ss + 0.002 * jnp.asarray(rng.normal(size=x_ss.shape))
     err = float(jnp.max(jnp.abs(F_ds(x) - F64(x))))
     assert err < 2e-10
+
+
+def test_ds_kernel_has_no_64bit_vectors(setup):
+    """Mosaic layout-inference guard (conftest helper)."""
+    from tests.conftest import assert_no_64bit_vectors_in_kernels
+    from hank_tpu.ops.fused_ds import make_ds_residual_fn
+    model, ss, exog, x_ss = setup
+    F = make_ds_residual_fn(model, ss, ss, exog, interpret=False)
+    assert_no_64bit_vectors_in_kernels(F, x_ss)

@@ -190,3 +190,13 @@ def test_path_solver_direction_mode_pallas(setup):
                                        direction_mode="xla", **kw)(x_ss)
     assert info_pal["residual_norm"] < 1e-8
     assert float(jnp.max(jnp.abs(x_pal - x_xla))) < 1e-7
+
+
+def test_fused_kernels_have_no_64bit_vectors(setup):
+    """Mosaic layout-inference guard: no 64-bit VECTOR values inside the
+    fused sweep kernel (see conftest.assert_no_64bit_vectors_in_kernels —
+    Mosaic CHECK-crashes on them; unroll=2 exercises the unrolled loop)."""
+    from tests.conftest import assert_no_64bit_vectors_in_kernels
+    model, ss, exog, x_ss = setup
+    fused = make_fused_jvp_dir(model, ss, ss, exog, interpret=False)
+    assert_no_64bit_vectors_in_kernels(fused, x_ss, jnp.ones_like(x_ss))

@@ -89,3 +89,13 @@ def test_fused2_forward_kernel_matches_xla(setup, monkeypatch):
     # they must agree even more tightly than either does with `ref`.
     assert float(jnp.max(jnp.abs(b - a))) < 2e-5 * max(scale, 1.0)
     assert float(jnp.max(jnp.abs(b - ref))) < 5e-5 * max(scale, 1.0)
+
+
+def test_fused2_kernels_have_no_64bit_vectors(setup):
+    """Mosaic layout-inference guard (see conftest helper): the first v5e
+    compile of this kernel pair CHECK-crashed on f64 vectors bred by
+    unpinned literals (_hat_q's where(b, 1.0, 0.0); jnp.eye's i64 iota)."""
+    from tests.conftest import assert_no_64bit_vectors_in_kernels
+    model, ss, exog, x_ss = setup
+    fused = make_fused2_jvp_dir(model, ss, ss, exog, interpret=False)
+    assert_no_64bit_vectors_in_kernels(fused, x_ss, jnp.ones_like(x_ss))
