@@ -150,3 +150,17 @@ def test_solve_ensemble_host_fused_matches_xla(ks_small, ks_small_ss):
     x_xla, _ = solve_ensemble_host(x0, Jbar, exog_b, model, ss, ss,
                                    eps=1e-9, fused="xla")
     assert float(jnp.max(jnp.abs(x_pal - x_xla))) < 1e-7
+
+
+def test_batch_kernels_have_no_64bit_vectors(setup):
+    """Mosaic layout-inference guard (conftest helper) for the batched pair."""
+    from tests.conftest import assert_no_64bit_vectors_in_kernels
+    model, ss, x_ss = setup
+    B = 2
+    Tm1 = model.compspec.T - 1
+    exog_b = {"Z": jnp.asarray(
+        [1.0 + 0.1 * rho ** np.arange(1, Tm1 + 1) for rho in (0.7, 0.9)])}
+    x_b = jnp.tile(x_ss[None], (B, 1))
+    v_b = jnp.ones_like(x_b)
+    jvp_batch = make_fused_jvp_batch(model, ss, ss, interpret=False)
+    assert_no_64bit_vectors_in_kernels(jvp_batch, x_b, v_b, exog_b)
