@@ -580,7 +580,13 @@ def _fused2_kernel_call(r_p, ra_p, w_p, tau_p, dr_p, dra_p, dw_p, dtau_p,
         s0=s0, stop=stp, s1=s1, nb_pad=nb_pad, na_pad=na_pad)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # Full-array VMEM inputs still need EXPLICIT index maps under a grid:
+    # the default map emits literal 0s, which trace as i64 under
+    # jax_enable_x64 and fail Mosaic's func.return legalization (the
+    # round-4 batch-kernel lesson, commit "Fix batched-kernel index maps").
+    # All zeros are derived from the i32 index arg (i * 0).
+    full = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda i, nd=arr.ndim: (i * 0,) * nd)
     blkA = pl.BlockSpec((1, n_e, na_pad, _N),
                         lambda i, T=Tm1: (T - 1 - i, i * 0, i * 0, i * 0))
     blkB = pl.BlockSpec((1, n_e, nb_pad, _N),
@@ -591,7 +597,7 @@ def _fused2_kernel_call(r_p, ra_p, w_p, tau_p, dr_p, dra_p, dw_p, dtau_p,
         kernel,
         grid=(Tm1,),
         out_shape=outsA + outsB,
-        in_specs=[smem] * 8 + [vmem] * (1 + len(statics)),
+        in_specs=[smem] * 8 + [full(vT)] + [full(s) for s in statics],
         out_specs=(blkA,) * 4 + (blkB,) * 6,
         scratch_shapes=[pltpu.VMEM((2, n_e, 2, _N, _N), f32)] * 2,
         compiler_params=pltpu.CompilerParams(
@@ -944,7 +950,11 @@ def _fwd2_kernel_call(flat_pols, d0, statics, *, meta, interpret=False):
     S = 8 * _N
     kernel = _make_fwd2_kernel(Tm1, n_b, n_a, n_e, pi, lam,
                                b0=b0, btop=btop, a0=a0, atop=atop)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # Explicit index maps everywhere (i32 zeros derived from the index arg —
+    # the default full-array map's literal 0s trace as i64 under x64 and
+    # fail Mosaic func.return legalization; see _fused2_kernel_call).
+    full = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda i, nd=arr.ndim: (i * 0,) * nd)
     pol_blk = pl.BlockSpec((1, n_e, S, 1),
                            lambda i: (i, i * 0, i * 0, i * 0))
     out_blk = pl.BlockSpec((Tm1, 1), lambda i: (i * 0, i * 0))
@@ -952,7 +962,7 @@ def _fwd2_kernel_call(flat_pols, d0, statics, *, meta, interpret=False):
         kernel,
         grid=(Tm1,),
         out_shape=(jax.ShapeDtypeStruct((Tm1, 1), f32),) * 6,
-        in_specs=[pol_blk] * 12 + [vmem] * (1 + len(statics)),
+        in_specs=[pol_blk] * 12 + [full(d0)] + [full(s) for s in statics],
         out_specs=(out_blk,) * 6,
         scratch_shapes=[pltpu.VMEM((n_e, 2, S, 1), f32)] * 2,
         compiler_params=pltpu.CompilerParams(
