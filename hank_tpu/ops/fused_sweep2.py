@@ -579,7 +579,10 @@ def _fused2_kernel_call(r_p, ra_p, w_p, tau_p, dr_p, dra_p, dw_p, dtau_p,
         borrow_cons=borrow_cons, b0=b0, btop=btop, a0=a0, atop=atop,
         s0=s0, stop=stp, s1=s1, nb_pad=nb_pad, na_pad=na_pad)
 
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # SMEM (Tm1,) price paths need explicit i32-zero index maps too — the
+    # default 1-D map's literal 0 is i64 under x64 (func.return(%0): (i64)).
+    smem = pl.BlockSpec((Tm1,), lambda i: (i * 0,),
+                        memory_space=pltpu.SMEM)
     # Full-array VMEM inputs still need EXPLICIT index maps under a grid:
     # the default map emits literal 0s, which trace as i64 under
     # jax_enable_x64 and fail Mosaic's func.return legalization (the
