@@ -322,17 +322,6 @@ def _interp_fixed_axis1_gather(Ws, grid, q):
          for s in range(S)], axis=-1)
 
 
-def _interp_fixed_axis1_hat(Ws, grid, q):
-    """Stacked surfaces Ws (n_b, n_k, n_e, S) interpolated along axis 1 at
-    queries q (n_q,) SHARED by every (b, e, s) — the no-access capped-accrual
-    evaluation point a' = min((1+ra)a, a_max) depends only on a. One tiny
-    (n_q, n_k) weight matrix + one einsum instead of the broadcast
-    (n_b, n_q, n_e, n_k) weights `_interp_val_slope_hat` would build.
-    Returns (n_b, n_q, n_e, S)."""
-    H, _ = _hat_weights_and_deriv(q, grid)         # (n_q, n_k)
-    return jnp.einsum("bkes,qk->bqes", Ws, H)
-
-
 def _use_hat_interp() -> bool:
     """Hat-basis (gather-free) interpolation on TPU; gathers elsewhere.
 

@@ -22,6 +22,7 @@ Everything runs on-device under one `jit`: the outer and inner loops are
 from __future__ import annotations
 
 import math
+import time
 from typing import Callable, Mapping
 
 import jax
@@ -551,8 +552,21 @@ def make_path_solver(
             ladder.append(("fd", jvp_fd))
 
             def run(x0):
+                # Per-program wall-clock accumulators (host-driven loop, so
+                # timing is exact): the solve's cost model lives in the
+                # returned info dict — "prof" maps program -> [calls, secs].
+                prof = {"jvp": [0, 0.0], "solve_j": [0, 0.0],
+                        "F": [0, 0.0], "pgmres_mv": [0, 0.0]}
+
+                def _timed(key, fn, *a):
+                    t0 = time.perf_counter()
+                    out = jax.block_until_ready(fn(*a))
+                    prof[key][0] += 1
+                    prof[key][1] += time.perf_counter() - t0
+                    return out
+
                 x, y = x0, x0
-                Fx = F_j(x)
+                Fx = _timed("F", F_j, x)
                 fnorm = float(jnp.linalg.norm(Fx))
                 iters = total_inner = 0
                 best = fnorm
@@ -561,13 +575,13 @@ def make_path_solver(
                 # Phase 1: Richardson y-iteration with the cheap direction
                 # operator — fast global progress down to its noise floor.
                 while fnorm > eps and iters < max_outer:
-                    tol = max(inner_eta * float(jnp.linalg.norm(solve_j(Fx))),
-                              1e-300)
+                    tol = max(inner_eta * float(jnp.linalg.norm(
+                        _timed("solve_j", solve_j, Fx))), 1e-300)
                     rnorm, inner_its = float("inf"), 0
                     best_r, y_best_in = float("inf"), y
                     while rnorm > tol and inner_its < max_inner:
-                        Lxy = jvp_j(x, y)
-                        R = solve_j(Fx - Lxy)
+                        Lxy = _timed("jvp", jvp_j, x, y)
+                        R = _timed("solve_j", solve_j, Fx - Lxy)
                         rnew = float(jnp.linalg.norm(R))
                         if rnew < best_r:
                             best_r, y_best_in = rnew, y
@@ -581,14 +595,15 @@ def make_path_solver(
                             rnorm = rnew
                             break
                         alpha = _boehl_alpha(
-                            rayleigh_quotient(solve_j(Lxy), y))
+                            rayleigh_quotient(_timed("solve_j", solve_j, Lxy),
+                                              y))
                         y = y + alpha * R
                         rnorm = rnew
                         inner_its += 1
                     if not bool(jnp.all(jnp.isfinite(y))):
                         break                        # endgame from the best
                     x = x - y
-                    Fx = F_j(x)
+                    Fx = _timed("F", F_j, x)
                     fnorm = float(jnp.linalg.norm(Fx))
                     _check_finite(fnorm, "boehl", iters + 1, x)
                     iters += 1
@@ -643,7 +658,9 @@ def make_path_solver(
                             break
                         name, op = ladder[level]
                         dx, rrel, mv = _host_pgmres(
-                            lambda v: solve_j(op(x, v)) + lam * v,
+                            lambda v: _timed("pgmres_mv",
+                                             lambda u: solve_j(op(x, u)), v)
+                            + lam * v,
                             solve_j(Fx), m=m_kry, tol=1e-3)
                         total_inner += mv
                         iters += 1
@@ -667,7 +684,7 @@ def make_path_solver(
                         if bool(jnp.all(jnp.isfinite(dx))):
                             for s in (1.0, 0.5, 0.25, 0.1, 0.03, 0.01):
                                 xt = x - s * dx
-                                Ft = F_j(xt)
+                                Ft = _timed("F", F_j, xt)
                                 fn = float(jnp.linalg.norm(Ft))
                                 if math.isfinite(fn) and fn < fnorm:
                                     x, Fx, fnorm = xt, Ft, fn
@@ -714,7 +731,9 @@ def make_path_solver(
                     x, fnorm = x_best, best
                 return x, {"iterations": iters, "inner_iterations": total_inner,
                            "residual_norm": fnorm,
-                           "y_norm": float(jnp.linalg.norm(y))}
+                           "y_norm": float(jnp.linalg.norm(y)),
+                           "prof": {k: {"calls": v[0], "secs": round(v[1], 3)}
+                                    for k, v in prof.items()}}
 
             return run
 

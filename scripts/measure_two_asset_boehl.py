@@ -47,4 +47,5 @@ print(json.dumps({"config": "hank2_T300_boehl_host_inner",
                   "residual": float(info["residual_norm"]),
                   "outer_iters": int(info["iterations"]),
                   "inner": int(info["inner_iterations"]),
+                  "prof": info.get("prof"),
                   "records": records}), flush=True)

@@ -38,13 +38,26 @@ def paths():
     return ps, dps
 
 
+def _med(fn, *a, n=5):
+    import time
+
+    jax.block_until_ready(jax.tree.leaves(fn(*a)))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.tree.leaves(fn(*a)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
 if which in ("bwd", "both"):
     ps, dps = paths()
-    pol, dpol = fused2_policies_jvp(*ps, *dps, ssT32.value, model32,
-                                    interpret=False)
+    bwd_fn = jax.jit(lambda *args: fused2_policies_jvp(
+        *args, ssT32.value, model32, interpret=False))
+    pol, dpol = bwd_fn(*ps, *dps)
     jax.block_until_ready(pol["B"])
     print("bwd OK:", {k: float(jnp.abs(v).max()) for k, v in pol.items()},
-          flush=True)
+          f"  {_med(bwd_fn, *ps, *dps):.1f} ms", flush=True)
 else:
     liquid = model.heterogeneity["liquid"]
     illiq = model.heterogeneity["illiquid"]
@@ -57,8 +70,9 @@ else:
             for k in ("B", "A", "C")}
 
 if which in ("fwd", "both"):
-    aggs, daggs = fused2_forward_jvp(pol, dpol, ss032.D, model32,
-                                     interpret=False)
+    fwd_fn = jax.jit(lambda p, dp: fused2_forward_jvp(
+        p, dp, ss032.D, model32, interpret=False))
+    aggs, daggs = fwd_fn(pol, dpol)
     jax.block_until_ready(aggs["B"])
     print("fwd OK:", {k: float(jnp.abs(v).max()) for k, v in aggs.items()},
-          flush=True)
+          f"  {_med(fwd_fn, pol, dpol):.1f} ms", flush=True)
