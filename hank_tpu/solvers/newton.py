@@ -360,9 +360,16 @@ def make_path_solver(
                            and direction_dtype == jnp.float32))
         if wants_fused and supports_fused_sweep(model):
             makers = (make_fused_jvp_dir, make_fused_residual_fn)
-        elif wants_fused and supports_fused_sweep2(model):
+        elif direction_mode == "pallas" and supports_fused_sweep2(model):
             # Two-asset family: backward+forward dual kernel pair
             # (ops/fused_sweep2.py) under the same probe/fallback contract.
+            # NOT picked by "auto": after the round-4 analytic-root reform
+            # the XLA jvp sweep is 159 ms vs the kernel pair's 187 ms at
+            # full size on v5e (scripts/tpu_fused2_check.py) — the split's
+            # wide batched bilinear passes are MXU-shaped einsums XLA
+            # already schedules well, and the kernel pays extra HBM policy
+            # streaming. Explicit direction_mode="pallas" still routes here
+            # (tests + future kernel work).
             makers = (make_fused2_jvp_dir, make_fused2_residual_fn)
         else:
             makers = None
@@ -481,19 +488,37 @@ def make_path_solver(
 
         if host_outer and host_inner:
             # Host-driven inner Richardson: the same iteration as
-            # y_iteration, dispatched as three small compiled programs.
-            # The full-precision residual is built with exact lowerings
-            # (gathers, ~1e-15 rounding on TPU emulated f64) — the default
-            # hat-basis GEMM pipeline rounds at ~1.2e-10/step and its
-            # compounded ~6e-7 deviation IS the former two-asset floor
-            # (BASELINE.md post-mortem). Direction sweeps keep the fast
-            # hat GEMMs. When the ds kernel is active (KS family) it is
-            # already ~1e-11-accurate and stays the residual evaluator.
+            # y_iteration, dispatched as a handful of SMALL compiled
+            # programs. ONE full-precision residual program steers descent
+            # and certifies: exact lowerings (gathers + elementwise
+            # expectation, ~1e-15 rounding on TPU emulated f64). A cheaper
+            # control program was measured and rejected (round 4,
+            # scripts/tpu_residual_costs.py on v5e): the default hat-GEMM
+            # f64 residual is SLOWER than the exact one (2.55 s vs 2.28 s —
+            # emulated-f64 einsums buy nothing over gathers) and agrees
+            # with it to 1.6e-10 on the χ-reformed model anyway; the f32
+            # fused residual carries ~1e-3 cancellation noise, useless
+            # below 1e-2. When the ds kernel is active (KS family) it is
+            # already ~1e-11-accurate and 9x cheaper than emulated f64 —
+            # it is the residual evaluator.
             F_exact = make_full_residual_fn(model, ss_initial, ss_ending,
                                             exog_paths, exact=True)
             jvp_j = jax.jit(jvp_dir)
             solve_j = jax.jit(solve_jbar)
             F_j = jax.jit(F if ds_active else F_exact)
+
+            # One Richardson inner step as ONE program: jvp + both J̄⁻¹
+            # applications + the adaptive Boehl step fused into a single
+            # dispatch (round-4 profile: the 3-program form paid ~31 ms
+            # dispatch overhead per J̄⁻¹ matvec through the axon tunnel —
+            # ~7.7 s of a 142 s solve).
+            @jax.jit
+            def rich_body(x, y, Fx):
+                Lxy = jvp_dir(x, y)
+                R = solve_jbar(Fx - Lxy)
+                alpha = _boehl_alpha(
+                    rayleigh_quotient(solve_jbar(Lxy), y))
+                return y + alpha * R, jnp.linalg.norm(R)
             # Endgame: with f32 direction sweeps the Newton step carries
             # ~1e-6-relative noise, so the Richardson outer floors around
             # 1e-6 instead of descending to eps (measured on the full-size
@@ -545,17 +570,23 @@ def make_path_solver(
                         - F_fd(x - fd_h * u)) * (vn / (2.0 * fd_h))
 
             # Operator ladder for the GMRES endgame, cheapest first (the
-            # non-mixed jvp_j is already full-precision AD).
-            ladder = [("f32", jvp_j)] if mixed else [("ad", jvp_j)]
+            # non-mixed AD rung is already full-precision). Each rung IS
+            # the preconditioned matvec v ↦ J̄⁻¹·J·v: the AD rung fuses the
+            # J̄⁻¹ application into the jvp program (one dispatch per
+            # Arnoldi step); the host-composed fd rung applies solve_j
+            # around its two residual evaluations.
+            sjvp_j = jax.jit(lambda x, v: solve_jbar(jvp_dir(x, v)))
+            ladder = [("f32" if mixed else "ad", sjvp_j)]
             if mixed and endgame_mode == "jvp" and jvp_full is not None:
-                ladder.append(("f64-ad", jvp_full))
-            ladder.append(("fd", jvp_fd))
+                ladder.append(("f64-ad",
+                               lambda x, v: solve_j(jvp_full(x, v))))
+            ladder.append(("fd", lambda x, v: solve_j(jvp_fd(x, v))))
 
             def run(x0):
                 # Per-program wall-clock accumulators (host-driven loop, so
                 # timing is exact): the solve's cost model lives in the
                 # returned info dict — "prof" maps program -> [calls, secs].
-                prof = {"jvp": [0, 0.0], "solve_j": [0, 0.0],
+                prof = {"sweep": [0, 0.0], "solve_j": [0, 0.0],
                         "F": [0, 0.0], "pgmres_mv": [0, 0.0]}
 
                 def _timed(key, fn, *a):
@@ -580,9 +611,8 @@ def make_path_solver(
                     rnorm, inner_its = float("inf"), 0
                     best_r, y_best_in = float("inf"), y
                     while rnorm > tol and inner_its < max_inner:
-                        Lxy = _timed("jvp", jvp_j, x, y)
-                        R = _timed("solve_j", solve_j, Fx - Lxy)
-                        rnew = float(jnp.linalg.norm(R))
+                        y_new, rn = _timed("sweep", rich_body, x, y, Fx)
+                        rnew = float(rn)
                         if rnew < best_r:
                             best_r, y_best_in = rnew, y
                         elif (not math.isfinite(rnew)
@@ -594,10 +624,7 @@ def make_path_solver(
                             y = y_best_in
                             rnorm = rnew
                             break
-                        alpha = _boehl_alpha(
-                            rayleigh_quotient(_timed("solve_j", solve_j, Lxy),
-                                              y))
-                        y = y + alpha * R
+                        y = y_new
                         rnorm = rnew
                         inner_its += 1
                     if not bool(jnp.all(jnp.isfinite(y))):
@@ -623,6 +650,14 @@ def make_path_solver(
                                         "inner_sweeps": inner_its})
                     if since_improve >= 2:
                         break                        # Richardson floor
+                    if fnorm > 3.0 * best:
+                        # Ascending well above the best iterate: the f32
+                        # direction operator is at its noise floor and
+                        # further Richardson outers only burn sweeps
+                        # (round-4 profile: outers 7-8 spent 49 sweeps
+                        # climbing 1.6e-6 -> 2.6e-5). Hand the best iterate
+                        # to the endgame now.
+                        break
                 # Phase 2: host-PGMRES Newton endgame from the best iterate
                 # (see the ladder comment above). Each outer solves
                 # J̄⁻¹J·dx = J̄⁻¹F by GMRES and backtracks on the TRUE
@@ -647,19 +682,23 @@ def make_path_solver(
                               f"{best:.3e}; GMRES endgame "
                               f"({ladder[level][0]} operator)", flush=True)
                     while fnorm > eps and iters < max_outer:
-                        # Noise-floor cutoff: when 5 consecutive outers
+                        # Noise-floor cutoff: when 3 consecutive outers
                         # (accepted or not) each improve the best norm by
                         # < 2%, the iterate is at the residual's own
                         # evaluation-noise floor (the two-asset post-
                         # mortem: cross-backend F noise ~6e-6, BASELINE.md)
                         # — grinding damping ladders past that point
-                        # triples wall-clock for single-digit-% gains.
-                        if eg_stall >= 5:
+                        # triples wall-clock for single-digit-% gains
+                        # (was 5 in round 3; the round-4 profile shows the
+                        # extra stalls never improved the norm and each
+                        # cost a GMRES cycle + line search of 2.3 s exact
+                        # residual evaluations).
+                        if eg_stall >= 3:
                             break
                         name, op = ladder[level]
                         dx, rrel, mv = _host_pgmres(
                             lambda v: _timed("pgmres_mv",
-                                             lambda u: solve_j(op(x, u)), v)
+                                             lambda u: op(x, u), v)
                             + lam * v,
                             solve_j(Fx), m=m_kry, tol=1e-3)
                         total_inner += mv
@@ -682,7 +721,17 @@ def make_path_solver(
                             break                    # no operator left
                         accepted = False
                         if bool(jnp.all(jnp.isfinite(dx))):
-                            for s in (1.0, 0.5, 0.25, 0.1, 0.03, 0.01):
+                            # Full backtracking ladder only while outers
+                            # are ACCEPTING: once an outer fails at this
+                            # damping level the iterate is at/near the
+                            # residual floor and the deep fractions never
+                            # rescue it (round-4 profile: three stalled
+                            # outers burned 6 exact evaluations each at
+                            # 2.3 s/call) — retries probe the two ends
+                            # only.
+                            steps = ((1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+                                     if eg_stall == 0 else (1.0, 0.1))
+                            for s in steps:
                                 xt = x - s * dx
                                 Ft = _timed("F", F_j, xt)
                                 fn = float(jnp.linalg.norm(Ft))
