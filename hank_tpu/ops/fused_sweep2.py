@@ -618,8 +618,15 @@ def _fused2_setup(model):
     income = model.heterogeneity["income"]
     access = model.heterogeneity["access"]
     n_b, n_a, n_e = liquid.n, illiq.n, income.n
-    if n_b > _N or n_a > _N or n_e > 8:
-        raise ValueError("fused two-asset kernel supports n_b, n_a <= 128")
+    if n_b > _N or n_a > _N:
+        raise ValueError(
+            f"fused two-asset kernel supports n_b, n_a <= {_N} "
+            f"(got n_b={n_b}, n_a={n_a})")
+    if n_e > 8:
+        raise ValueError(
+            f"fused two-asset kernel supports n_e <= 8 income states "
+            f"(got n_e={n_e}): the income expectation unrolls over e "
+            "in-kernel")
     bgrid = np.asarray(liquid.grid, np.float64)
     agrid = np.asarray(illiq.grid, np.float64)
     s_grid = bgrid * ((bgrid[-1] + agrid[-1]) / bgrid[-1])

@@ -164,12 +164,35 @@ def exog_apply(D: jnp.ndarray, transitions: Sequence[jnp.ndarray],
     exogenous dimension and state shape (n_a, n_e) this is `D @ Pi` — exactly
     the reference's `Λ_exog = kron(Πᵀ, I)` applied to the wealth-fastest
     vectorised state (`ForwardIteration.jl:280-284`), as a dense MXU matmul.
+
+    Under `config.exact_lowerings` the contraction UNROLLS to elementwise
+    scalar·map FMAs (same rationale as the model-side `_expect_income`):
+    TPU emulated-f64 MXU contractions round at ~1.2e-10 where elementwise
+    FMAs round at ~1e-15, and the forward scan compounds the per-step
+    rounding over T-1 periods into the full-precision residual — the
+    round-4 floor post-mortem's missing channel (the forward block was the
+    one stage BOTH residual variants contracted on the MXU, which is why
+    their floors were identical; scripts/r5_noise_decompose.py).
     """
+    from hank_tpu.config import exact_lowerings_active
+
+    exact = exact_lowerings_active()
     for i, Pi in enumerate(transitions):
         axis = n_endog_axes + i
-        D = jnp.tensordot(D, Pi, axes=([axis], [0]))
-        # tensordot moves the contracted axis to the end; restore position.
-        D = jnp.moveaxis(D, -1, axis)
+        if exact:
+            n = Pi.shape[0]
+            Dm = jnp.moveaxis(D, axis, -1)
+            cols = []
+            for e2 in range(n):
+                acc = Pi[0, e2] * Dm[..., 0]
+                for e1 in range(1, n):
+                    acc = acc + Pi[e1, e2] * Dm[..., e1]
+                cols.append(acc)
+            D = jnp.moveaxis(jnp.stack(cols, axis=-1), -1, axis)
+        else:
+            D = jnp.tensordot(D, Pi, axes=([axis], [0]))
+            # tensordot moves the contracted axis to the end; restore it.
+            D = jnp.moveaxis(D, -1, axis)
     return D
 
 
@@ -270,6 +293,19 @@ def _lottery_apply_2d_dense(idx_w, d2: jnp.ndarray, endog_shape: tuple) -> jnp.n
           + jnp.where(ja[..., None] == ta, wa[..., None], 0.0))
     # Fold mass into the b-side, then contract origins (b, a) per f:
     # out[j, m, f] = Σ_{b,a} (D·Sb)[b,a,f,j] · Sa[b,a,f,m].
+    from hank_tpu.config import exact_lowerings_active
+
+    if exact_lowerings_active():
+        # Exactly-rounded lowering: broadcast-multiply + VPU axis reductions
+        # instead of the emulated-f64 MXU GEMM (~1.2e-10/step — compounds
+        # over the T-long forward scan; the round-4 residual-floor channel
+        # BOTH residual variants shared). The (b, a, f, j, m) product is
+        # n_b·n_a·F·n_b·n_a elements (6.4M at the full two-asset size) and
+        # fuses into the reduce; each output sums nonnegative mass terms
+        # (no cancellation), so the reduce rounds at the ~1e-15 elementwise
+        # class.
+        prod = (Sb * d2[..., None])[..., :, None] * Sa[..., None, :]
+        return jnp.moveaxis(jnp.sum(prod, axis=(0, 1)), 0, -1)
     return jnp.einsum("bafj,bafm->jmf", Sb * d2[..., None], Sa,
                       preferred_element_type=d2.dtype)
 

@@ -275,6 +275,21 @@ def solve_ensemble_host(x0: jnp.ndarray,
     if use_fused and not supports_fused_batch(model):
         raise ValueError("fused='pallas' requires the canonical one-asset "
                          "EGM fused_prices hook (supports_fused_batch)")
+    if fused == "pallas" and mesh is not None:
+        # The batched kernel's host-side chunk loop is not sharding-aware:
+        # under a mesh the sharded inner_step jit would wrap it and every
+        # chunk would gather to one device. 'auto' already excludes meshes;
+        # an explicit force must fail loudly rather than run degenerate.
+        raise ValueError("fused='pallas' is incompatible with mesh=: the "
+                         "batched kernel path is single-device; use "
+                         "fused='auto' (XLA sweeps under the mesh) instead")
+    if fused == "pallas" and direction_dtype != jnp.float32:
+        # The kernel pair computes f32 sweeps regardless of the requested
+        # direction dtype; forcing it with an f64 direction request would
+        # silently downgrade direction precision.
+        raise ValueError("fused='pallas' computes float32 direction sweeps; "
+                         "set direction_dtype=jnp.float32 (or use "
+                         "fused='xla' for f64 directions)")
 
     F_b = jax.vmap(F_one)
     if use_fused:

@@ -371,6 +371,14 @@ def make_path_solver(
             # streaming. Explicit direction_mode="pallas" still routes here
             # (tests + future kernel work).
             makers = (make_fused2_jvp_dir, make_fused2_residual_fn)
+        elif direction_mode == "pallas":
+            # An explicit kernel request for a model neither fused sweep
+            # supports must fail loudly, not silently run XLA (mirrors
+            # ensemble.py's explicit-force ValueError).
+            raise ValueError(
+                "direction_mode='pallas' requested but the model supports "
+                "neither fused sweep (supports_fused_sweep / "
+                "supports_fused_sweep2 both False); use 'auto' or 'xla'")
         else:
             makers = None
         use_fused = makers is not None

@@ -167,6 +167,46 @@ def test_lottery_2d_dense_matches_scatter():
     assert np.abs(dense - scatter).max() < 1e-14
 
 
+def test_forward_exact_lowerings_match_default():
+    """Under `config.exact_lowerings` the forward block switches to
+    exactly-rounded contractions (unrolled exog FMAs, VPU-reduce joint
+    lottery instead of the emulated-f64 MXU GEMM — the round-4/5 two-asset
+    residual-floor channel BOTH residual variants shared,
+    scripts/r5_noise_decompose.py). Same operator on CPU f64 to ~1e-15."""
+    from hank_tpu.config import exact_lowerings
+    from hank_tpu.ops.transition import _lottery_apply_2d_dense, lottery_weights
+
+    rng = np.random.default_rng(23)
+    # exog_apply: two exogenous axes.
+    D3 = rng.uniform(size=(7, 5, 2))
+    P1 = rng.uniform(0.1, 1, size=(5, 5)); P1 /= P1.sum(1, keepdims=True)
+    P2 = rng.uniform(0.1, 1, size=(2, 2)); P2 /= P2.sum(1, keepdims=True)
+    base = np.asarray(exog_apply(jnp.asarray(D3),
+                                 [jnp.asarray(P1), jnp.asarray(P2)], 1))
+    with exact_lowerings(True):
+        ex = np.asarray(exog_apply(jnp.asarray(D3),
+                                   [jnp.asarray(P1), jnp.asarray(P2)], 1))
+    assert np.abs(base - ex).max() < 1e-15
+
+    # joint 2-D lottery dense lowering, full-size-shaped.
+    n_b, n_a, F = 40, 20, 10
+    gb = np.sort(rng.uniform(0, 100, n_b))
+    ga = np.sort(rng.uniform(0, 200, n_a))
+    shape = (n_b, n_a, F)
+    pb = rng.uniform(-5, 110, size=shape)
+    pa = rng.uniform(-5, 220, size=shape)
+    D = rng.uniform(0.1, 1, size=shape); D /= D.sum()
+    idx_w = [lottery_weights(jnp.asarray(pb), jnp.asarray(gb)),
+             lottery_weights(jnp.asarray(pa), jnp.asarray(ga))]
+    dense = np.asarray(_lottery_apply_2d_dense(idx_w, jnp.asarray(D),
+                                               (n_b, n_a)))
+    with exact_lowerings(True):
+        dense_ex = np.asarray(_lottery_apply_2d_dense(idx_w, jnp.asarray(D),
+                                                      (n_b, n_a)))
+    assert abs(dense_ex.sum() - 1.0) < 1e-12
+    assert np.abs(dense - dense_ex).max() < 1e-14
+
+
 def test_invariant_dist_colstoch():
     rng = np.random.default_rng(7)
     n = 12
