@@ -42,22 +42,26 @@ BASELINE_PROVENANCE = {
                        "(scripts/measure_configs.py, BASELINE.md)",
 }
 
-# Round-3 results for the non-headline BASELINE configs, recorded from the
+# Latest recorded results for the non-headline BASELINE configs, from the
 # measurement harness runs on the live v5e (provenance: BASELINE.md, the
-# scripts named below). Informational — re-running them inside bench.py
-# would multiply driver wall-clock several-fold; re-measure with the
-# named scripts after solver changes.
-RECORDED_R3 = {
-    "hank1_T300_tpu_seconds_recorded": 0.133,       # measure_configs.py
-    "kslg_T150_tpu_seconds_recorded": 1.078,        # measure_configs.py
-    "hank2_T300_tpu_seconds_recorded": 208.8,       # measure_two_asset_boehl.py
-    "hank2_T300_tpu_residual_recorded": 6.5e-07,    # TPU-evaluated floor; see
-    # BASELINE.md: cross-backend evaluation uncertainty of this residual is
-    # ~6e-6 (split-FOC conditioning amplifies per-op rounding), so the
-    # TPU floor is the evaluation-noise limit, not a solver stall.
-    "ensemble_B1024_sweep_speedup_recorded": 12.4,  # measure_ensemble.py
-    "ensemble_B64_solve_seconds_recorded": 441.9,   # all 64 paths < 1e-8
-    "recorded_on": "v5e-1chip 2026-08-18 (round 3)",
+# scripts named below, per-row vintage). Informational — re-running them
+# all inside bench.py would multiply driver wall-clock several-fold;
+# re-measure with the named scripts after solver changes. The two-asset
+# solve is additionally MEASURED fresh (not stamped) by `main()` when a
+# TPU backend and cached artifacts are present.
+RECORDED = {
+    "hank1_T300_tpu_seconds_recorded": 0.133,       # measure_configs.py (r3)
+    "kslg_T150_tpu_seconds_recorded": 1.078,        # measure_configs.py (r3)
+    "hank2_T300_tpu_seconds_recorded": 100.7,       # measure_two_asset_boehl.py
+    "hank2_T300_tpu_residual_recorded": 8.4e-07,    # (round 4: analytic split
+    # root reform; TPU beats same-code CPU 138.6 s on the class the reference
+    # cannot run at all). The 8.4e-7 was the round-4 on-chip floor of the
+    # residual EVALUATION (forward-block MXU contractions were shared by
+    # both residual variants — fixed in round 5 by the exact-lowerings
+    # forward block; see BASELINE.md round-5 section for current numbers).
+    "ensemble_B1024_sweep_speedup_recorded": 12.4,  # measure_ensemble.py (r3)
+    "ensemble_B64_solve_seconds_recorded": 441.9,   # all 64 paths < 1e-8 (r3)
+    "recorded_on": "v5e-1chip (per-row round vintage above)",
 }
 
 
@@ -237,7 +241,7 @@ def main():
         "vs_baseline": round(cpu["cpu_solve_seconds"] / solve_s, 3),
         **cpu,
         **BASELINE_PROVENANCE,
-        **RECORDED_R3,
+        **RECORDED,
         **extras,
     }
     print(json.dumps(result))
