@@ -33,3 +33,37 @@ out["matvec1495"] = rel(jax.jit(lambda M,z: M@z)(jnp.asarray(C), jnp.asarray(x))
 for k, vv in out.items():
     print(f"{k}: max rel err {vv:.3e}", flush=True)
 print("elapsed", round(time.time()-t0,1), flush=True)
+
+# ── Round-5 extension: elementwise transcendental/dual-op accuracy AND BIAS
+# (the docstring's round-3 "elementwise ~1e-15" claim was recorded from an
+# earlier session; the committed probe only measured contractions. The
+# round-5 W-path dumps show a ~1e-9/step ONE-SIDED bias in the backward
+# recursion on v5e, so per-op signed bias is what matters now.) ──────────────
+vals = np.abs(rng.standard_normal(65536)) + 0.05
+big = np.exp(rng.uniform(-20, 20, 65536))          # W-like: spans decades
+ops = {
+    "rsqrt": (lambda x: jax.lax.rsqrt(x), lambda x: 1.0 / np.sqrt(x)),
+    "sqrt": (jnp.sqrt, np.sqrt),
+    "div": (lambda x: 1.0 / x, lambda x: 1.0 / x),
+    "mul_selfsq": (lambda x: x * x, lambda x: x * x),
+    "pow_gamma": (lambda x: x ** -0.64, lambda x: x ** -0.64),
+    "log": (jnp.log, np.log),
+    "exp_small": (lambda x: jnp.exp(-x), lambda x: np.exp(-x)),
+}
+for name, (jf, nf) in ops.items():
+    for tag, arr in (("unit", vals), ("decades", big)):
+        got = np.asarray(jax.jit(jf)(jnp.asarray(arr)))
+        ref = nf(arr)
+        r = (got - ref) / np.maximum(np.abs(ref), 1e-300)
+        print(f"{name}/{tag}: maxrel {np.abs(r).max():.3e} "
+              f"bias {r.mean():.3e}", flush=True)
+# Chained FMA bias (the unrolled expectation form): 25 scalar*map adds.
+acc = jnp.zeros(65536)
+accn = np.zeros(65536)
+for i in range(25):
+    c = 0.04 * (1 + 0.01 * i)
+    acc = acc + c * jnp.asarray(vals)
+    accn = accn + c * vals
+r = (np.asarray(jax.block_until_ready(acc)) - accn) / np.abs(accn)
+print(f"fma_chain25: maxrel {np.abs(r).max():.3e} bias {r.mean():.3e}",
+      flush=True)
