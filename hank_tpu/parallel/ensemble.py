@@ -118,7 +118,7 @@ def solve_ensemble(x0: jnp.ndarray,
     Returns (x_paths (B, n), info dict of (B,) diagnostics).
     """
     if jax.default_backend() in ("tpu", "axon"):
-        routable = method == "boehl" and not (
+        routable = method in ("boehl", "newton_krylov") and not (
             set(solver_kwargs)
             - {"eps", "max_outer", "max_inner", "direction_dtype", "verbose",
                "records"})
@@ -136,7 +136,8 @@ def solve_ensemble(x0: jnp.ndarray,
             "solve_ensemble is fenced on TPU backends (v5e kernel fault on "
             "record); routing to solve_ensemble_host")
         return solve_ensemble_host(x0, Jbar, exog_batch, model, ss_initial,
-                                   ss_ending, mesh=mesh, **solver_kwargs)
+                                   ss_ending, mesh=mesh, method=method,
+                                   **solver_kwargs)
 
     def solve_one(x0_one, exog):
         # host_outer=False: the outer loop must be traced under vmap.
@@ -175,6 +176,8 @@ def solve_ensemble_host(x0: jnp.ndarray,
                         direction_dtype=jnp.float32,
                         chunk: int | None = 64,
                         fused: str = "auto",
+                        method: str = "boehl",
+                        gmres_m: int = 30,
                         verbose: bool = False,
                         records: list | None = None) -> tuple[jnp.ndarray, dict]:
     """Batched Boehl solve with a HOST-driven outer loop (production path).
@@ -214,9 +217,21 @@ def solve_ensemble_host(x0: jnp.ndarray,
     XLA direction program to miscompile; the kernel chunks itself by VMEM —
     `kernel_batch_width`).
 
+    method: "boehl" (default) runs the lockstep Richardson y-iteration;
+    "newton_krylov" runs a lockstep inexact-Newton outer with a HOST-driven
+    batched GMRES inner (fixed-shape Arnoldi over the batched preconditioned
+    matvec J̄⁻¹·J_x·v, per-path Hessenberg least-squares on the host,
+    Eisenstat-Walker forcing, lockstep backtracking). Same per-path
+    keep-best/freeze resilience; typically ~20x fewer lockstep direction
+    sweeps than Richardson (the single-path gap measured in BASELINE.md:
+    ~25 newton_krylov sweeps vs ~1654 lockstep Richardson sweeps at B=64).
+    gmres_m: Arnoldi iterations per cycle (newton_krylov only).
+
     Returns (x (B, n), info) with (B,)-shaped "residual_norm" plus scalar
     "iterations" / "inner_iterations" (lockstep counts).
     """
+    if method not in ("boehl", "newton_krylov"):
+        raise ValueError(f"method={method!r}: expected 'boehl'|'newton_krylov'")
     x_dtype = config.dtype
     B = next(iter(exog_batch.values())).shape[0]
     n = x0.shape[-1]
@@ -343,6 +358,10 @@ def solve_ensemble_host(x0: jnp.ndarray,
         Fx_new = F_b(x_new, ex)
         return x_new, Fx_new, jnp.linalg.norm(Fx_new, axis=-1)
 
+    def matvec(x, v, ex):
+        """Preconditioned batched Newton matvec: J̄⁻¹·(J_x·v) per path."""
+        return solve_b(jvp_b(x, v, ex))
+
     if mesh is not None:
         shard = NamedSharding(mesh, P("dp"))
         rep = NamedSharding(mesh, P())
@@ -358,12 +377,15 @@ def solve_ensemble_host(x0: jnp.ndarray,
         F_b0 = jax.jit(F_b, in_shardings=(shard, ex_sh), out_shardings=shard)
         solve_b_j = jax.jit(solve_b, in_shardings=(shard,),
                             out_shardings=shard)
+        matvec_j = jax.jit(matvec, in_shardings=(shard, shard, ex_sh),
+                           out_shardings=shard)
         del rep
     else:
         inner_step = jax.jit(inner_step)
         outer_update = jax.jit(outer_update)
         F_b0 = jax.jit(F_b)
         solve_b_j = jax.jit(solve_b)
+        matvec_j = jax.jit(matvec)
 
     if mesh is None and chunk is not None and B > chunk:
         # v5e workaround: the vmapped mixed-tail direction program
@@ -416,6 +438,14 @@ def solve_ensemble_host(x0: jnp.ndarray,
             outer_update = _chunked(outer_update)
             F_b0 = _chunked(F_b0)
             solve_b_j = _chunked(solve_b_j)
+            matvec_j = _chunked(matvec_j)
+
+    if method == "newton_krylov":
+        gmres_tol = 3e-7 if direction_dtype == jnp.float32 else 1e-12
+        return _run_ensemble_nk(
+            x0, exog_batch, B, x_dtype, F_b0, matvec_j, solve_b_j,
+            eps=eps, max_outer=max_outer, gmres_m=gmres_m,
+            gmres_tol=gmres_tol, verbose=verbose, records=records)
 
     x = x0.astype(x_dtype)
     y = jnp.zeros_like(x)
@@ -485,5 +515,188 @@ def solve_ensemble_host(x0: jnp.ndarray,
     x = jnp.where(better[:, None], x_best, x)
     fnorm = jnp.where(better, f_best, fnorm)
     return x, {"iterations": iters, "inner_iterations": total_inner,
+               "residual_norm": fnorm,
+               "stalled_paths": int(jnp.sum(frozen & (fnorm > eps)))}
+
+
+def _run_ensemble_nk(x0, exog_batch, B: int, x_dtype, F_b0, matvec,
+                     solve_b_j, *, eps: float, max_outer: int, gmres_m: int,
+                     gmres_tol: float, verbose: bool,
+                     records: list | None) -> tuple[jnp.ndarray, dict]:
+    """Lockstep batched inexact-Newton with host-driven batched GMRES.
+
+    The batched analogue of solvers/newton.py's newton_krylov: each outer
+    solves the preconditioned Newton system J̄⁻¹J_x·dx = −J̄⁻¹F per path
+    with ONE shared Arnoldi schedule — every Arnoldi step costs one lockstep
+    batched direction sweep (`matvec`), which is exactly the primitive the
+    batched Pallas kernel pair / vmapped XLA sweeps accelerate. The Krylov
+    basis is a FIXED-shape zero-padded (B, m+1, n) device array (one
+    compiled CGS2 program serves every step); the per-path (m+1, m)
+    Hessenberg least-squares runs on the host in numpy f64. Per-path
+    Eisenstat-Walker forcing, lockstep backtracking with per-path step
+    halving, and the same keep-best/freeze resilience as the Richardson
+    loop. Richardson needs O(100s) of lockstep sweeps per solve (worst-path
+    gated); GMRES contracts in O(10s) — the round-5 fix for the 10x
+    per-path solve overhead (VERDICT r4 item 3 / SURVEY §2.10 DP row).
+    """
+    import numpy as _np
+
+    n = x0.shape[-1]
+    m = gmres_m
+
+    @jax.jit
+    def _ortho(Vs, w):
+        # CGS2 against the zero-padded basis: padded rows contribute 0.
+        h1 = jnp.einsum("bkn,bn->bk", Vs, w)
+        w = w - jnp.einsum("bk,bkn->bn", h1, Vs)
+        h2 = jnp.einsum("bkn,bn->bk", Vs, w)
+        w = w - jnp.einsum("bk,bkn->bn", h2, Vs)
+        return w, h1 + h2
+
+    @jax.jit
+    def _insert(Vs, v, j):
+        return jax.lax.dynamic_update_slice(Vs, v[:, None, :], (0, j, 0))
+
+    @jax.jit
+    def _get_row(Vs, j):
+        return jax.lax.dynamic_slice(Vs, (0, j, 0), (B, 1, n))[:, 0]
+
+    @jax.jit
+    def _normalize(w):
+        wn = jnp.linalg.norm(w, axis=-1)
+        good = wn > TINY
+        v = jnp.where(good[:, None], w / jnp.maximum(wn, TINY)[:, None], 0.0)
+        return v, wn
+
+    @jax.jit
+    def _expand(Vs, y):
+        return jnp.einsum("bk,bkn->bn", y, Vs)
+
+    @jax.jit
+    def _rownorm(a):
+        return jnp.linalg.norm(a, axis=-1)
+
+    def _ls_rrel(H, bn, k):
+        """Per-path Hessenberg least squares (host, numpy f64).
+
+        Returns y (B, k) and the relative GMRES residual per path."""
+        y = _np.zeros((B, k))
+        rrel = _np.ones(B)
+        for b in range(B):
+            if bn[b] <= TINY:
+                rrel[b] = 0.0
+                continue
+            Hb = H[b, :k + 1, :k]
+            e1 = _np.zeros(k + 1)
+            e1[0] = bn[b]
+            yb, *_ = _np.linalg.lstsq(Hb, e1, rcond=None)
+            y[b] = yb
+            rrel[b] = float(_np.linalg.norm(Hb @ yb - e1)) / bn[b]
+        return y, rrel
+
+    def gmres_cycle(x, r0, eta, active):
+        """One lockstep Arnoldi cycle; early exit when every active path's
+        projected residual meets its forcing tolerance."""
+        bn = _np.asarray(_rownorm(r0))
+        v0, _ = _normalize(r0)
+        Vs = _insert(jnp.zeros((B, m + 1, n), x_dtype), v0, 0)
+        H = _np.zeros((B, m + 1, m))
+        k = 0
+        y = _np.zeros((B, 0))
+        rrel = _np.where(bn > TINY, 1.0, 0.0)
+        for j in range(m):
+            w = matvec(x, _get_row(Vs, j), exog_batch)
+            w, h = _ortho(Vs, w)
+            v_next, wn = _normalize(w)
+            Vs = _insert(Vs, v_next, j + 1)
+            h_np = _np.asarray(h)
+            wn_np = _np.asarray(wn)
+            if not _np.isfinite(h_np).all() or not _np.isfinite(wn_np).all():
+                break                      # caller keeps best-so-far iterate
+            H[:, :m + 1, j] = h_np
+            H[:, j + 1, j] = wn_np
+            k = j + 1
+            y, rrel = _ls_rrel(H, bn, k)
+            if not (active & (rrel > eta)).any():
+                break
+        if k == 0:
+            return jnp.zeros_like(r0), rrel, 0
+        y_pad = _np.zeros((B, m + 1))
+        y_pad[:, :k] = y
+        dx = _expand(Vs, jnp.asarray(y_pad, x_dtype))
+        return dx, rrel, k
+
+    x = x0.astype(x_dtype)
+    Fx = F_b0(x, exog_batch)
+    fnorm = _rownorm(Fx)
+    x_best, F_best, f_best = x, Fx, fnorm
+    since_improve = jnp.zeros((B,), dtype=jnp.int32)
+    frozen = ~jnp.isfinite(fnorm)
+    fprev = _np.asarray(fnorm)       # first-outer forcing: eta clips to 0.5
+    iters = total_mv = 0
+    while bool(((fnorm > eps) & ~frozen).any()) and iters < max_outer:
+        fn_np = _np.asarray(fnorm)
+        active = _np.asarray(~frozen) & (fn_np > eps)
+        # Eisenstat-Walker (choice 2) per path, floored at the direction
+        # noise and at what the final target still requires.
+        eta = _np.clip(0.9 * (fn_np / _np.maximum(fprev, TINY)) ** 2,
+                       gmres_tol, 0.5)
+        eta = _np.maximum(eta, 0.1 * eps / _np.maximum(fn_np, TINY))
+        b_rhs = -solve_b_j(Fx)
+        dx, rrel, mv = gmres_cycle(x, b_rhs, eta, active)
+        total_mv += mv
+        if mv and (active & (rrel > eta)).any():
+            # One restart from the deflated residual (mirrors _host_pgmres):
+            # a cycle that hit m without meeting the forcing term usually
+            # still made progress; deflate and run one more.
+            r = b_rhs - matvec(x, dx, exog_batch)
+            total_mv += 1
+            if bool(jnp.isfinite(_rownorm(r)).all()):
+                dx2, _, mv2 = gmres_cycle(x, r, eta, active)
+                dx = dx + dx2
+                total_mv += mv2
+        # Lockstep backtracking: per-path step halving, accepted paths hold.
+        accepted = frozen | (fnorm <= eps)
+        alpha = jnp.ones((B,), x_dtype)
+        x_new, Fx_new, fn_new = x, Fx, fnorm
+        for _ in range(6):
+            x_try = jnp.where(accepted[:, None], x_new,
+                              x + alpha[:, None] * dx)
+            Fx_try = F_b0(x_try, exog_batch)
+            fn_try = _rownorm(Fx_try)
+            ok = (~accepted) & jnp.isfinite(fn_try) & (fn_try < fnorm)
+            x_new = jnp.where(ok[:, None], x_try, x_new)
+            Fx_new = jnp.where(ok[:, None], Fx_try, Fx_new)
+            fn_new = jnp.where(ok, fn_try, fn_new)
+            accepted = accepted | ok
+            if bool(accepted.all()):
+                break
+            alpha = jnp.where(accepted, alpha, 0.5 * alpha)
+        fprev = fn_np
+        x, Fx, fnorm = x_new, Fx_new, fn_new
+        improved = fnorm < f_best
+        x_best = jnp.where(improved[:, None], x, x_best)
+        F_best = jnp.where(improved[:, None], Fx, F_best)
+        f_best = jnp.where(improved, fnorm, f_best)
+        since_improve = jnp.where(fnorm < 0.99 * fprev, 0, since_improve + 1)
+        frozen = frozen | (since_improve >= 3)
+        iters += 1
+        n_conv = int(jnp.sum(fnorm <= eps))
+        n_stall = int(jnp.sum(frozen & (fnorm > eps)))
+        if verbose:
+            print(f"[ensemble/nk] outer {iters}: max|F| = "
+                  f"{float(jnp.where(frozen, 0.0, fnorm).max()):.3e}, "
+                  f"{n_conv}/{B} converged, {n_stall} stalled "
+                  f"(+{mv} matvecs)", flush=True)
+        if records is not None:
+            records.append({"iteration": iters,
+                            "max_residual_norm": float(fnorm.max()),
+                            "converged": n_conv,
+                            "stalled": n_stall,
+                            "matvecs": total_mv})
+    better = f_best < fnorm
+    x = jnp.where(better[:, None], x_best, x)
+    fnorm = jnp.where(better, f_best, fnorm)
+    return x, {"iterations": iters, "inner_iterations": total_mv,
                "residual_norm": fnorm,
                "stalled_paths": int(jnp.sum(frozen & (fnorm > eps)))}
