@@ -291,9 +291,11 @@ def _make_fused_sweep_kernel(Tm1: int, n_a: int, n_e: int,
                 return carry
             carry = jax.lax.fori_loop(jnp.asarray(0, i32),
                                       jnp.asarray(n_iter, i32), body, init)
+            # Static remainder steps: python-int period indices (a concrete
+            # jnp scalar in `pl.ds` trips the ref-transform pytree wrapper
+            # during non-interpret kernel tracing — observed on v5e).
             for i in range(n_iter * unroll, Tm1):
-                t = jnp.asarray(Tm1 - 1 - i if reverse else i, i32)
-                carry = step_at(t, carry)
+                carry = step_at(Tm1 - 1 - i if reverse else i, carry)
             return carry
 
         _run_loop(bstep_at, True,
