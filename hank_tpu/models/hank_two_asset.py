@@ -58,6 +58,7 @@ import jax
 import jax.numpy as jnp
 
 from hank_tpu.ops.egm import interp_columns
+from hank_tpu.ops.precision import one_minus
 
 # Portfolio regularization (round 4, `portfolio_reg` = χ): the raw split
 # FOC g(a') = W_b − W_a is monotone but its slope g′ → 0 for wealth-rich
@@ -410,7 +411,10 @@ def ValueFunction(value_next, xvals, model):
     ra = xvals["ra"]
     tau = xvals["tau"]
     w = xvals["w"]
-    y_e = jnp.maximum((1.0 - tau) * w, 1e-9) * income.grid     # (n_e,)
+    # one_minus: literal−scalar subtract is an axon f64-emulation erratum
+    # (~2e-8 rel — THE round-3/4/5 residual-floor channel; see
+    # ops/precision.one_minus and scripts/r5_scalar_sub_map.py).
+    y_e = jnp.maximum(one_minus(tau) * w, 1e-9) * income.grid  # (n_e,)
 
     # 1. Post-decision continuations on the (b', a', e) lattice: expectation
     #    over the i.i.d. access draw, then over e' (MXU einsum).

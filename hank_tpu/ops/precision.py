@@ -43,3 +43,22 @@ def cast_ss(ss, dtype):
 
 def cast_paths(paths: Mapping[str, jnp.ndarray], dtype) -> dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v, dtype=dtype) for k, v in paths.items()}
+
+
+def one_minus(x):
+    """1 − x for traced f64 SCALARS — axon emulated-f64 erratum workaround.
+
+    On the axon TPU backend, a jitted `literal − traced_scalar` subtract
+    lowers through an f32 constant path and rounds at ~2e-8 RELATIVE (any
+    literal; jnp.subtract and (1,)-shaped forms too), while `literal +
+    (−x)`, `x − literal`, `x − y`, and all array-shaped subtracts are exact
+    to ~1e-15 (measured: scripts/r5_scalar_sub_map.py, v5e 2026-08-20).
+    This was THE residual-floor channel of the two-asset model: the
+    per-period income scalar (1 − tau)·w deviated 4.4e-8 one-sidedly per
+    Bellman step, compounding over the T-long backward recursion into the
+    ~6e-6 cross-backend F(x*) deviation (BASELINE.md round-3/4
+    post-mortems attributed it to contractions; the real source was this
+    scalar). Use this for any literal-minus-traced-scalar in per-period
+    price arithmetic. Semantically identical to `1.0 - x` everywhere.
+    """
+    return 1.0 + (-x)
