@@ -656,8 +656,20 @@ def make_path_solver(
                         records.append({"iteration": iters,
                                         "residual_norm": fnorm,
                                         "inner_sweeps": inner_its})
-                    if since_improve >= 2:
-                        break                        # Richardson floor
+                    if since_improve >= 1:
+                        # Richardson floor. One non-halving outer is proof
+                        # enough: with inner forcing η = 1e-5 a healthy
+                        # outer contracts by ~1e-2+, so < 2x progress means
+                        # the f32-direction noise floor — and the GMRES
+                        # endgame is strictly stronger from there (measured
+                        # on the clean-residual two-asset T=300, v5e: ONE
+                        # preconditioned-GMRES outer of 4 matvecs took
+                        # 9.1e-6 -> 6.6e-9, while each extra floor-probing
+                        # Richardson outer burned 14-18 sweeps + a 1.3 s
+                        # exact F eval for < 0.1% improvement. The old
+                        # `>= 2` spent two such outers detecting the floor;
+                        # round-4's record shows the same waste pattern).
+                        break
                     if fnorm > 3.0 * best:
                         # Ascending well above the best iterate: the f32
                         # direction operator is at its noise floor and

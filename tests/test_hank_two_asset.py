@@ -331,3 +331,38 @@ def test_hat_vs_gather_bellman_step(ta_model, ta_ss, monkeypatch):
     for k in ("Value", "B", "A", "C"):
         err = float(jnp.max(jnp.abs(hat[k] - ref[k])))
         assert err < 1e-8, (k, err)
+
+
+def test_one_minus_semantics():
+    """`ops/precision.one_minus` must be semantically identical to 1 - x.
+
+    It exists ONLY as an axon-TPU erratum workaround (jitted
+    literal-minus-traced-scalar rounds at f32 there — the round-3/4/5
+    two-asset residual-floor channel, scripts/r5_scalar_sub_map.py); on
+    every IEEE backend both forms are exactly rounded and bitwise equal.
+    """
+    import jax
+    from hank_tpu.ops.precision import one_minus
+
+    vals = jnp.asarray([0.0, 1.0, 0.181243817238974, -2.5, 1e-12, 1e12])
+    direct = 1.0 - vals
+    assert bool(jnp.all(one_minus(vals) == direct))
+    assert bool(jnp.all(jax.jit(one_minus)(vals) == direct))
+    # scalar form (the production use: per-period tau)
+    s = jnp.asarray(0.181243817238974)
+    assert float(jax.jit(one_minus)(s)) == float(1.0 - s)
+
+
+def test_two_asset_income_uses_one_minus():
+    """The per-period income scalar must route through `one_minus` — a
+    plain `1.0 - tau` re-introduces the ~2e-8 axon scalar-subtract bias
+    that was the two-asset on-chip certification floor (BASELINE.md
+    round-5 post-mortem). Source-level guard: the hardware erratum cannot
+    be reproduced on the CPU test mesh."""
+    import inspect
+
+    from hank_tpu.models.hank_two_asset import ValueFunction
+
+    src = inspect.getsource(ValueFunction)
+    assert "one_minus(tau)" in src
+    assert "(1.0 - tau)" not in src
