@@ -52,13 +52,13 @@ BASELINE_PROVENANCE = {
 RECORDED = {
     "hank1_T300_tpu_seconds_recorded": 0.133,       # measure_configs.py (r3)
     "kslg_T150_tpu_seconds_recorded": 1.078,        # measure_configs.py (r3)
-    "hank2_T300_tpu_seconds_recorded": 100.7,       # measure_two_asset_boehl.py
-    "hank2_T300_tpu_residual_recorded": 8.4e-07,    # (round 4: analytic split
-    # root reform; TPU beats same-code CPU 138.6 s on the class the reference
-    # cannot run at all). The 8.4e-7 was the round-4 on-chip floor of the
-    # residual EVALUATION (forward-block MXU contractions were shared by
-    # both residual variants — fixed in round 5 by the exact-lowerings
-    # forward block; see BASELINE.md round-5 section for current numbers).
+    "hank2_T300_tpu_seconds_recorded": 15.8,        # measure_two_asset_boehl.py
+    "hank2_T300_tpu_residual_recorded": 4.12e-11,   # (round 5: the on-chip
+    # residual floor was a literal-minus-scalar f64-emulation erratum in the
+    # per-period income — fixed via ops/precision.one_minus; the solve now
+    # CERTIFIES 1e-8 on one v5e with 3 runs at 15.9/15.8/15.7 s, all to
+    # 4.12e-11. Round-4 record: 100.7 s to 8.4e-7 uncertified; same-code
+    # CPU: 138.6 s. BASELINE.md round-5 section has the forensics.)
     "ensemble_B1024_sweep_speedup_recorded": 12.4,  # measure_ensemble.py (r3)
     "ensemble_B64_solve_seconds_recorded": 441.9,   # all 64 paths < 1e-8 (r3)
     "recorded_on": "v5e-1chip (per-row round vintage above)",
@@ -179,9 +179,15 @@ def main():
     # North-star solve: permanent Z: 1 -> 2 transition, mixed-precision
     # Newton-Krylov (f32 direction sweeps, f64 residuals), warm-timed.
     exog_t = {"Z": exogenousZ(Tm1, rho=0.8, z_start=1.0, z_end=2.0)}
+    # host_outer=False: the outer Newton while_loop stays ON DEVICE — one
+    # dispatch for the whole solve. The axon tunnel costs ~25.7 ms per
+    # host round trip (scripts/r5_rtt_probe.py), so the host-driven outer
+    # pays ~150 ms of pure RTT on this 5-outer solve (measured 0.689 s vs
+    # 0.539 s, identical residual/iterates — r5_ks_hostouter_probe.py).
     solver = make_path_solver(Jbar, exog_t, model, ss0, ssT,
                               method="newton_krylov",
-                              direction_dtype=jnp.float32, eps=1e-8)
+                              direction_dtype=jnp.float32, eps=1e-8,
+                              host_outer=False)
     solver(x_ss)                        # compile + warm
     t0 = time.perf_counter()
     x_sol, info = solver(x_ss)
@@ -232,6 +238,36 @@ def main():
         extras["ensemble_f32_sweeps_per_sec"] = round(B / bt, 3)
     except Exception as e:  # pragma: no cover
         extras["ensemble_error"] = str(e)[:100]
+
+    # Two-asset T=300 (the north-star config): MEASURED fresh — not stamped —
+    # whenever a TPU backend is live and the artifacts are cached (the
+    # on-device SS-solve guard forbids a cache-miss solve here; pre-build
+    # with scripts/build_artifacts.py). One warm production solve: boehl
+    # host_inner + GMRES endgame, the certified-1e-8 configuration.
+    if jax.default_backend() in ("tpu", "axon"):
+        try:
+            m2 = load_model("hank_two_asset", T=300)
+            if load_jacobian(m2) is not None:
+                from hank_tpu.model.structures import generate_exog_paths
+                ex2 = generate_exog_paths(m2, 299)
+                s20, s2T, J2 = get_or_solve(m2)
+                e2 = m2.vars_of_type("endogenous")
+                x20 = jnp.tile(jnp.asarray([s2T.vars[k] for k in e2]), 299)
+                solver2 = make_path_solver(J2, ex2, m2, s20, s2T,
+                                           method="boehl",
+                                           direction_dtype=jnp.float32,
+                                           eps=1e-8, host_inner=True)
+                solver2(x20)                       # compile + warm
+                t0 = time.perf_counter()
+                x2, i2 = solver2(x20)
+                jax.block_until_ready(x2)
+                extras["hank2_T300_solve_seconds"] = round(
+                    time.perf_counter() - t0, 3)
+                extras["hank2_T300_residual"] = float(i2["residual_norm"])
+            else:
+                extras["hank2_skipped"] = "artifacts not cached"
+        except Exception as e:  # pragma: no cover
+            extras["hank2_error"] = str(e)[:150]
 
     cpu = _cpu_comparator()
     result = {

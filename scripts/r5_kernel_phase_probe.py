@@ -216,13 +216,17 @@ def run(variant):
     args = [jnp.asarray(x) for x in
             (r, w, dr, dr, V, D, tile(grid), e_grid, Pi,
              tile(glo), tile(ghi), tile(iup), tile(idn))]
+    # Timing fetches an output to the HOST each iteration:
+    # jax.block_until_ready on raw pallas outputs does NOT synchronize
+    # through the axon remote-execution plugin (measured: 0.07 ms
+    # "block_until_ready" vs 29.5 ms with a host fetch for the same call).
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    np.asarray(fn(*args)[0])
     compile_s = time.perf_counter() - t0
     ts = []
     for _ in range(7):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        np.asarray(fn(*args)[0])
         ts.append(time.perf_counter() - t0)
     return {"variant": variant, "compile_s": round(compile_s, 1),
             "ms": round(float(np.median(ts)) * 1e3, 2)}
