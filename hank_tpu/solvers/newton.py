@@ -21,6 +21,7 @@ Everything runs on-device under one `jit`: the outer and inner loops are
 
 from __future__ import annotations
 
+import functools
 import math
 import time
 from typing import Callable, Mapping
@@ -93,8 +94,39 @@ def _boehl_alpha(ray: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(1.0 / jnp.maximum(ray, 1.0), 0.05, 1.0)
 
 
+@functools.lru_cache(maxsize=8)
+def _cgs2_program(n: int, dtype_name: str):
+    """One compiled CGS2 projection step over a FIXED-shape (m+1, n) basis.
+
+    Projects w against the first `k` rows of Vm (rows ≥ k are zero, so a
+    full-basis matvec with a row mask is shape-stable — one compiled
+    program serves every Arnoldi step). Two projection passes (classical
+    Gram-Schmidt twice ≡ MGS stability at f64), then the new column's
+    coefficients, the orthogonalized w and its norm come back in ONE
+    device round trip. The previous MGS form fetched each h_ij as a
+    separate scalar: j+2 round trips per Arnoldi step at ~26 ms tunnel RTT
+    each ≈ 1.3 s of a 15.7 s two-asset solve (BASELINE.md round-5 RTT
+    table)."""
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def step(Vm, w, k):
+        rows = jnp.arange(Vm.shape[0], dtype=jnp.int32) < k
+        h1 = jnp.where(rows, Vm @ w, 0.0)
+        w1 = w - Vm.T @ h1
+        h2 = jnp.where(rows, Vm @ w1, 0.0)
+        w2 = w1 - Vm.T @ h2
+        return h1 + h2, w2, jnp.linalg.norm(w2)
+
+    return step
+
+
 def _host_pgmres_cycle(apply_A, b, m: int, tol: float):
-    """One Arnoldi/MGS cycle of host-driven GMRES (numpy f64 LS).
+    """One Arnoldi/CGS2 cycle of host-driven GMRES (numpy f64 LS).
+
+    The Krylov basis is a device-resident (m+1, n) array; per Arnoldi step
+    the host fetches exactly TWO results (the Hessenberg column and the
+    new norm) instead of one scalar per projection.
 
     Returns (dx, rel_residual, matvecs); dx is None if a matvec came back
     non-finite (caller escalates to a more robust operator).
@@ -102,20 +134,21 @@ def _host_pgmres_cycle(apply_A, b, m: int, tol: float):
     bn = float(jnp.linalg.norm(b))
     if bn == 0.0 or not math.isfinite(bn):
         return None, float("inf"), 0
-    V = [b / bn]
+    cgs2 = _cgs2_program(b.shape[0], str(b.dtype))
+    Vm = jnp.zeros((m + 1, b.shape[0]), b.dtype)
+    Vm = Vm.at[0].set(b / bn)
     H = np.zeros((m + 1, m))
     y = np.zeros(0)
     k = 0
     rrel = float("inf")
     for j in range(m):
-        w = apply_A(V[j])
-        for i in range(j + 1):
-            hij = float(jnp.vdot(V[i], w))
-            H[i, j] = hij
-            w = w - hij * V[i]
-        hn = float(jnp.linalg.norm(w))
-        if not (math.isfinite(hn) and all(math.isfinite(h) for h in H[:j + 2, j])):
+        w = apply_A(Vm[j])
+        hcol_d, w, hn_d = cgs2(Vm, w, jnp.asarray(j + 1, jnp.int32))
+        hcol = np.asarray(hcol_d[:j + 1])
+        hn = float(hn_d)
+        if not (math.isfinite(hn) and np.isfinite(hcol).all()):
             return None, float("inf"), j + 1
+        H[:j + 1, j] = hcol
         H[j + 1, j] = hn
         k = j + 1
         e1 = np.zeros(k + 1)
@@ -124,10 +157,8 @@ def _host_pgmres_cycle(apply_A, b, m: int, tol: float):
         rrel = float(np.linalg.norm(H[:k + 1, :k] @ y - e1)) / bn
         if hn < 1e-14 * bn or rrel < tol:
             break
-        V.append(w / hn)
-    dx = V[0] * float(y[0])
-    for yi, Vi in zip(y[1:], V[1:k]):
-        dx = dx + float(yi) * Vi
+        Vm = Vm.at[j + 1].set(w / hn)
+    dx = Vm[:k].T @ jnp.asarray(y[:k], b.dtype)
     return dx, rrel, k
 
 
