@@ -286,6 +286,7 @@ def make_path_solver(
     records: list | None = None,
     stall_rescue: bool = True,
     endgame: str = "auto",
+    endgame_gmres_tol: float = 1e-3,
 ):
     """Build a reusable jit-compiled path solver `run(x0) -> (x, info)`.
 
@@ -306,6 +307,12 @@ def make_path_solver(
     records: optional list; appended one dict per outer iteration
       (residual norm, inner sweeps) when host_outer is set — the structured
       observability the reference's println lines lack (SURVEY §5).
+    endgame_gmres_tol: relative tolerance of the host-PGMRES inner solve in
+      the endgame (host_inner only). Tighter values trade extra ~0.15 s f32
+      matvecs for fewer Newton outers — and each outer costs one ~1.3 s
+      full-precision residual evaluation on the two-asset T=300 program, so
+      the optimum is well below the classical 1e-3 inexact-Newton default
+      (floor: the f32 direction operator's ~1e-6 relative noise).
     """
     F = make_full_residual_fn(model, ss_initial, ss_ending, exog_paths)
     F_pipeline = F   # differentiable form — JVP directions must use this
@@ -751,7 +758,7 @@ def make_path_solver(
                             lambda v: _timed("pgmres_mv",
                                              lambda u: op(x, u), v)
                             + lam * v,
-                            solve_j(Fx), m=m_kry, tol=1e-3)
+                            solve_j(Fx), m=m_kry, tol=endgame_gmres_tol)
                         total_inner += mv
                         iters += 1
                         if dx is None:
