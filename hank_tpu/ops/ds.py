@@ -249,6 +249,24 @@ def powi_neg(x, gamma: int):
     return recip(powi(x, gamma))
 
 
+def sqrt(x):
+    """ds sqrt for x >= 0 (the two-asset analytic quadratic FOC root).
+
+    f32 hardware sqrt seeds s; the Karp-Markstein correction
+    e = (x − s²)/(2s) is evaluated with an error-free s² (two_prod), so a
+    sloppy TPU rsqrt/sqrt costs accuracy only at O(eps²). x = 0 (and any
+    negative rounding dust clamped by the caller) short-circuits to 0 to
+    avoid 0/0."""
+    s = jnp.sqrt(jnp.maximum(x[0], jnp.float32(0.0)))
+    s2 = two_prod(s, s)
+    r = sub(x, s2)
+    e = (r[0] + r[1]) / jnp.maximum(s + s, jnp.float32(1e-30))
+    out = quick_two_sum(s, e)
+    zero = jnp.zeros_like(s)
+    safe = s > 0.0
+    return jnp.where(safe, out[0], zero), jnp.where(safe, out[1], zero)
+
+
 # ── selects / comparisons ───────────────────────────────────────────────────
 
 def where(mask, x, y):

@@ -67,12 +67,35 @@ def full(x):
         return eval_residuals(x_mat, model)
 
 
+@jax.jit
+def full_default(x):
+    """Default lowerings (hat-GEMM interp/lottery). Post-erratum-fix these
+    measured as accurate as the exact forms at the CPU root (4.50e-9 vs
+    4.35e-9, BASELINE.md round 5) — if they are also FASTER, the host_inner
+    control residual can run default with exact reserved for the final
+    certification eval."""
+    pol = backward_iteration(x, exog, model, ssT.vars, ssT.value)
+    aggs = forward_iteration(pol, model, ss0.D)
+    x_mat = assemble_full_xmat(x, aggs, exog, model, ss0.vars, ssT.vars)
+    return eval_residuals(x_mat, model)
+
+
 out = {}
-for tag, fn in (("bwd", bwd), ("bwd_fwd", bwd_fwd), ("full", full)):
+for tag, fn in (("bwd", bwd), ("bwd_fwd", bwd_fwd), ("full", full),
+                ("full_default", full_default)):
     t0 = time.perf_counter()
     np.asarray(jax.tree_util.tree_leaves(fn(x0))[0])
     out[f"{tag}_compile_s"] = round(time.perf_counter() - t0, 1)
     out[f"{tag}_ms"] = round(t_pipe(fn, x0) * 1e3, 1)
 out["fwd_ms_est"] = round(out["bwd_fwd_ms"] - out["bwd_ms"], 1)
 out["tail_ms_est"] = round(out["full_ms"] - out["bwd_fwd_ms"], 1)
+
+# Accuracy cross-check: default vs exact residual at the SS guess and at a
+# perturbed point (absolute agreement; both are ~1e-2-norm residuals here).
+Fe = np.asarray(full(x0))
+Fd = np.asarray(full_default(x0))
+out["default_vs_exact_absdiff_x0"] = float(np.max(np.abs(Fe - Fd)))
+xp = x0 * (1.0 + 1e-4)
+out["default_vs_exact_absdiff_xp"] = float(np.max(np.abs(
+    np.asarray(full(xp)) - np.asarray(full_default(xp)))))
 print(json.dumps(out), flush=True)

@@ -92,6 +92,15 @@ def test_powi_neg(gamma):
     assert _rel_err(got, u64 ** (-float(gamma))) < 1e-12
 
 
+def test_sqrt():
+    u64 = _rand(lo=1e-6, hi=1e6)
+    got = ds.sqrt(ds.from_f64(u64))
+    assert _rel_err(got, np.sqrt(np.asarray(u64))) < 1e-13
+    # exact zero short-circuits (no 0/0)
+    z = ds.sqrt((jnp.zeros(4, jnp.float32), jnp.zeros(4, jnp.float32)))
+    assert np.all(np.asarray(z[0]) == 0.0) and np.all(np.isfinite(z[1]))
+
+
 def test_comparisons_exact_below_f32():
     # Pairs differing only in the lo part must order correctly.
     a64 = _rand(lo=1.0, hi=2.0)
