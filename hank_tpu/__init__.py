@@ -52,6 +52,7 @@ from hank_tpu.solvers.newton import (  # noqa: E402
     make_path_solver,
     newton_raphson_hank,
 )
+from hank_tpu.solvers.linear import irf_table, linear_impulse_response  # noqa: E402
 from hank_tpu.run import solve_model  # noqa: E402
 
 __version__ = "0.1.0"
@@ -68,6 +69,8 @@ __all__ = [
     "find_ss",
     "get_steady_states",
     "get_steady_state_jacobian",
+    "irf_table",
+    "linear_impulse_response",
     "make_full_residual_fn",
     "make_path_solver",
     "newton_raphson_hank",
