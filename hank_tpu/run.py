@@ -46,7 +46,16 @@ def solve_model(model, exog_paths=None, *, method: str = "newton_krylov",
     endog = model.vars_of_type("endogenous")
     x0 = jnp.tile(jnp.asarray([ssT.vars[k] for k in endog]), Tm1)
 
-    if method == "dense":
+    if method == "linear":
+        from hank_tpu.solvers.linear import linear_impulse_response
+
+        with phase("linear impulse response", recs, verbose):
+            x, info = linear_impulse_response(Jbar, exog_paths, model,
+                                              ss0, ssT)
+        info = {"iterations": 1,
+                "residual_norm": float(info["residual_norm"]),
+                "f0_norm": float(info["f0_norm"])}
+    elif method == "dense":
         from hank_tpu.solvers.newton import solve_path_dense
 
         with phase("path solve (dense)", recs, verbose):
@@ -68,7 +77,9 @@ def main(argv=None):
                         help="shipped model name or path to a YAML spec")
     parser.add_argument("--T", type=int, default=None, help="override horizon")
     parser.add_argument("--method", default="newton_krylov",
-                        choices=["newton_krylov", "boehl", "dense"])
+                        choices=["newton_krylov", "boehl", "dense", "linear"],
+                        help="'linear' = first-order IRF (one preconditioned "
+                             "Newton step, solvers/linear.py)")
     parser.add_argument("--mixed", action="store_true",
                         help="f32 direction sweeps (inexact Newton)")
     parser.add_argument("--eps", type=float, default=1e-8)
