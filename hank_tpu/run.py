@@ -21,11 +21,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _accept_warm_start(x_ss, x_lin, lin_info, verbose):
+    """Keep-best guard for `warm_start="linear"`: on a shock large enough
+    that the linear step lands infeasible (non-finite residual) or outside
+    the region where it helps (no improvement on the first-order forcing
+    ‖F(x_ss)‖), start the nonlinear solver from the SS path instead of
+    poisoning it with a worse iterate."""
+    r_lin = float(lin_info["residual_norm"])
+    if np.isfinite(r_lin) and r_lin < float(lin_info["f0_norm"]):
+        return x_lin
+    if verbose:
+        print(f"[warm_start=linear] linear step rejected "
+              f"(‖F(x_lin)‖ = {r_lin:.3g} vs forcing "
+              f"{float(lin_info['f0_norm']):.3g}) — "
+              f"starting from the SS path")
+    return x_ss
+
+
 def solve_model(model, exog_paths=None, *, method: str = "newton_krylov",
                 direction_dtype=None, eps: float = 1e-8, verbose: bool = True,
                 cache: bool = True, records: list | None = None,
-                residual_mode: str = "auto"):
+                residual_mode: str = "auto", warm_start: str = "ss"):
     """Full solve: steady states + J̄ (cached) + transition path.
+
+    warm_start: initial guess for the nonlinear path solvers — "ss" (the
+    steady-state path, the reference's choice `NewtonRaphson.jl:88-90`) or
+    "linear" (the first-order IRF x_ss − J̄⁻¹F(x_ss), one residual + one
+    precomputed-J̄⁻¹ matvec, `solvers/linear.py` — lands O(shock²) from the
+    root so Newton skips its opening contractions; measured trade-offs in
+    BASELINE.md round-5 "linear warm start").
 
     Returns (x_path (T-1, n_endog), info, ss_initial, ss_ending).
     The reference's `solveModel(mod, stst, j̅)` equivalent.
@@ -61,6 +85,16 @@ def solve_model(model, exog_paths=None, *, method: str = "newton_krylov",
         with phase("path solve (dense)", recs, verbose):
             x, info = solve_path_dense(x0, exog_paths, model, ss0, ssT, eps=eps)
     else:
+        if warm_start == "linear":
+            from hank_tpu.solvers.linear import linear_impulse_response
+
+            with phase("linear warm start", recs, verbose):
+                x_lin, lin_info = linear_impulse_response(
+                    Jbar, exog_paths, model, ss0, ssT)
+                x0 = _accept_warm_start(x0, x_lin, lin_info, verbose)
+        elif warm_start != "ss":
+            raise ValueError(f"warm_start must be 'ss' or 'linear', "
+                             f"got {warm_start!r}")
         solver = make_path_solver(Jbar, exog_paths, model, ss0, ssT,
                                   method=method, direction_dtype=direction_dtype,
                                   eps=eps, verbose=verbose, records=records,
@@ -83,6 +117,9 @@ def main(argv=None):
     parser.add_argument("--mixed", action="store_true",
                         help="f32 direction sweeps (inexact Newton)")
     parser.add_argument("--eps", type=float, default=1e-8)
+    parser.add_argument("--warm-start", default="ss", choices=["ss", "linear"],
+                        help="nonlinear-solver initial guess: steady-state "
+                             "path or the first-order IRF (solvers/linear.py)")
     parser.add_argument("--residual-mode", default="auto",
                         choices=["auto", "ds", "f64"],
                         help="full-precision residual path: fused "
@@ -112,7 +149,7 @@ def main(argv=None):
         model, method=args.method,
         direction_dtype=jnp.float32 if args.mixed else None,
         eps=args.eps, cache=not args.no_cache,
-        residual_mode=args.residual_mode)
+        residual_mode=args.residual_mode, warm_start=args.warm_start)
     wall = time.time() - t0
 
     endog = model.vars_of_type("endogenous")
