@@ -265,21 +265,52 @@ def main():
             m2 = load_model("hank_two_asset", T=300)
             if load_jacobian(m2) is not None:
                 from hank_tpu.model.structures import generate_exog_paths
+                from hank_tpu.solvers.linear import linear_impulse_response
                 ex2 = generate_exog_paths(m2, 299)
                 s20, s2T, J2 = get_or_solve(m2)
                 e2 = m2.vars_of_type("endogenous")
                 x20 = jnp.tile(jnp.asarray([s2T.vars[k] for k in e2]), 299)
-                solver2 = make_path_solver(J2, ex2, m2, s20, s2T,
-                                           method="boehl",
-                                           direction_dtype=jnp.float32,
-                                           eps=1e-8, host_inner=True)
-                np.asarray(solver2(x20)[0])        # compile + warm (host sync)
-                t0 = time.perf_counter()
-                x2, i2 = solver2(x20)
-                np.asarray(x2)
-                extras["hank2_T300_solve_seconds"] = round(
-                    time.perf_counter() - t0, 3)
-                extras["hank2_T300_residual"] = float(i2["residual_norm"])
+                # Production route (round 5, scripts/r5_linstart_endgame.py):
+                # linear-IRF warm start + endgame-only boehl
+                # (richardson_max_outer=0) — the warm start lands in the
+                # quadratic basin, so the GMRES endgame replaces ~53
+                # Richardson sweeps with ~11 matvecs (13.7 s vs 22.1 s
+                # measured back-to-back under the same tunnel load).
+                # Guarded: if the linear step doesn't beat the forcing, or
+                # the endgame-only solve misses eps, fall back to the
+                # two-phase route from the SS path.
+                xl, li = linear_impulse_response(J2, ex2, m2, s20, s2T)
+                r_lin = float(li["residual_norm"])
+                lin_ok = np.isfinite(r_lin) and r_lin < float(li["f0_norm"])
+
+                def _route(rich_cap, x_start, build_lin):
+                    solver = make_path_solver(
+                        J2, ex2, m2, s20, s2T, method="boehl",
+                        direction_dtype=jnp.float32, eps=1e-8,
+                        host_inner=True, richardson_max_outer=rich_cap)
+                    np.asarray(solver(x_start)[0])     # compile + warm
+                    runs, i2 = [], None
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        xs = x_start
+                        if build_lin:
+                            xs, _ = linear_impulse_response(
+                                J2, ex2, m2, s20, s2T,
+                                compute_residual=False)
+                        x2, i2 = solver(xs)
+                        np.asarray(x2)
+                        runs.append(round(time.perf_counter() - t0, 3))
+                    return runs, float(i2["residual_norm"])
+
+                if lin_ok:
+                    runs, res = _route(0, xl, build_lin=True)
+                    extras["hank2_route"] = "linstart_endgame_only"
+                if not lin_ok or res > 1e-8:
+                    runs, res = _route(None, x20, build_lin=False)
+                    extras["hank2_route"] = "ss_two_phase_fallback"
+                extras["hank2_T300_solve_runs"] = runs
+                extras["hank2_T300_solve_seconds"] = float(np.median(runs))
+                extras["hank2_T300_residual"] = res
             else:
                 extras["hank2_skipped"] = "artifacts not cached"
         except Exception as e:  # pragma: no cover

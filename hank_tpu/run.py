@@ -41,7 +41,8 @@ def _accept_warm_start(x_ss, x_lin, lin_info, verbose):
 def solve_model(model, exog_paths=None, *, method: str = "newton_krylov",
                 direction_dtype=None, eps: float = 1e-8, verbose: bool = True,
                 cache: bool = True, records: list | None = None,
-                residual_mode: str = "auto", warm_start: str = "ss"):
+                residual_mode: str = "auto", warm_start: str = "ss",
+                **solver_kwargs):
     """Full solve: steady states + J̄ (cached) + transition path.
 
     warm_start: initial guess for the nonlinear path solvers — "ss" (the
@@ -49,7 +50,12 @@ def solve_model(model, exog_paths=None, *, method: str = "newton_krylov",
     "linear" (the first-order IRF x_ss − J̄⁻¹F(x_ss), one residual + one
     precomputed-J̄⁻¹ matvec, `solvers/linear.py` — lands O(shock²) from the
     root so Newton skips its opening contractions; measured trade-offs in
-    BASELINE.md round-5 "linear warm start").
+    BASELINE.md round-5 "linear warm start"). Combine with
+    `richardson_max_outer=0` (boehl host_inner) for the endgame-only route
+    — the fastest measured two-asset T=300 configuration on v5e.
+
+    Extra keyword arguments are forwarded to `make_path_solver` (e.g.
+    host_inner, richardson_max_outer, gmres_restart, endgame_gmres_tol).
 
     Returns (x_path (T-1, n_endog), info, ss_initial, ss_ending).
     The reference's `solveModel(mod, stst, j̅)` equivalent.
@@ -98,7 +104,7 @@ def solve_model(model, exog_paths=None, *, method: str = "newton_krylov",
         solver = make_path_solver(Jbar, exog_paths, model, ss0, ssT,
                                   method=method, direction_dtype=direction_dtype,
                                   eps=eps, verbose=verbose, records=records,
-                                  residual_mode=residual_mode)
+                                  residual_mode=residual_mode, **solver_kwargs)
         with phase("path solve", recs, verbose):
             x, info = solver(x0)
     x_path = np.asarray(x).reshape(Tm1, len(endog))

@@ -274,6 +274,7 @@ def make_path_solver(
     eps: float = 1e-9,
     method: str = "boehl",
     max_outer: int | None = None,
+    richardson_max_outer: int | None = None,
     max_inner: int = 500,
     gmres_restart: int = 20,
     gmres_maxiter: int = 2,
@@ -375,7 +376,13 @@ def make_path_solver(
                     f"({type(e).__name__}); falling back to the f64 residual")
 
     solve_jbar = make_reusable_solver(Jbar)
-    max_outer = max_outer or config.path_newton_max_iter
+    max_outer = config.path_newton_max_iter if max_outer is None else max_outer
+    # Cap on the boehl host_inner RICHARDSON phase only (the GMRES endgame
+    # keeps the full max_outer budget). An explicit 0 skips Richardson
+    # entirely — the endgame-only route for warm starts that already sit in
+    # the quadratic basin (e.g. the linear IRF, scripts/r5_linstart_endgame).
+    rich_max_outer = (max_outer if richardson_max_outer is None
+                      else min(richardson_max_outer, max_outer))
     x_dtype = config.dtype
 
     F32 = None     # f32 residual for the mixed-precision outer schedule
@@ -651,7 +658,7 @@ def make_path_solver(
                 x_best, F_best = x, Fx
                 # Phase 1: Richardson y-iteration with the cheap direction
                 # operator — fast global progress down to its noise floor.
-                while fnorm > eps and iters < max_outer:
+                while fnorm > eps and iters < rich_max_outer:
                     tol = max(inner_eta * float(jnp.linalg.norm(
                         _timed("solve_j", solve_j, Fx))), 1e-300)
                     rnorm, inner_its = float("inf"), 0

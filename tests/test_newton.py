@@ -63,6 +63,33 @@ def test_boehl_host_inner_matches_traced(path_setup):
                          host_inner=True)
 
 
+def test_boehl_endgame_only_from_linear_start(path_setup):
+    """richardson_max_outer=0 (host_inner boehl) skips the Richardson
+    phase and drives the GMRES endgame directly — the endgame-only route
+    for warm starts already in the quadratic basin (the linear IRF). Must
+    converge and agree with the default two-phase solve. Also pins that
+    an explicit 0 is honored (a `max_outer or default` bug once swallowed
+    it)."""
+    from hank_tpu.solvers.linear import linear_impulse_response
+    from hank_tpu.solvers.newton import make_path_solver
+
+    model, ss, exog, x0, Jbar = path_setup
+    x_lin, _ = linear_impulse_response(Jbar, exog, model, ss, ss,
+                                       compute_residual=False)
+    solve_eg = make_path_solver(Jbar, exog, model, ss, ss, method="boehl",
+                                eps=1e-9, host_inner=True,
+                                richardson_max_outer=0)
+    solve_def = make_path_solver(Jbar, exog, model, ss, ss, method="boehl",
+                                 eps=1e-9, host_inner=True)
+    x_eg, info_eg = solve_eg(x_lin)
+    x_def, info_def = solve_def(x_lin)
+    assert float(info_eg["residual_norm"]) < 1e-9
+    # No Richardson sweeps at all on the endgame-only route.
+    assert info_eg["prof"]["sweep"]["calls"] == 0
+    assert float(info_def["residual_norm"]) < 1e-9
+    assert float(jnp.max(jnp.abs(x_eg - x_def))) < 1e-7
+
+
 def test_solvers_agree_with_dense(path_setup):
     """1e-8 pointwise agreement between the fast solvers and the
     ground-truth dense-Jacobian Newton (build-plan step 6/8)."""
